@@ -1,0 +1,137 @@
+"""Cross-modal fusion: DAFM and its variants, batched + masked.
+
+Capability parity with the fusion family in reference model/gat_model.py:
+  - FusionAttention_mat (:427-511) — the paper's DAFM: two single-head
+    cross-attention streams whose logits are *multiplied* by the
+    distance prior E_r = softmax(-De / sigma) before the softmax. ACTIVE.
+  - FusionAttention (:77) — no distance bias ("Attention_normal").
+  - FusionAttention2/3 (:159, :255) — additive exp(-De^2 / 2 sigma^2) bias.
+  - FusionAttention_gaussian (:341) — additive Gaussian-pdf bias.
+  - plain sum / concat merges (:1414-1417).
+
+The reference loops over batch items with variable N (gat_model.py:1396); here
+everything is batched (B, N, D) with an (B, N) validity mask, so a single jit
+program covers the whole batch — padded actors are excluded from every softmax
+by masking.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.masked import masked_softmax
+from .layers import FFN
+
+
+def distance_prior(de: jnp.ndarray, pair_valid: jnp.ndarray, sigma: float,
+                   mode: str) -> jnp.ndarray:
+    """Distance-derived attention prior.
+
+    Modes: 'mult_softmax' (DAFM, gat_model.py:487), 'add_exp'
+    (FusionAttention2, :218), 'add_gauss' (FusionAttention_gaussian, :399),
+    'none'.
+    """
+    if mode == "mult_softmax":
+        return masked_softmax(-de / sigma, pair_valid, axis=-1)
+    if mode == "add_exp":
+        return jnp.exp(-de ** 2 / (2.0 * sigma ** 2)) * pair_valid
+    if mode == "add_gauss":
+        return (1.0 / (sigma * math.sqrt(2 * math.pi))
+                * jnp.exp(-0.5 * (de / sigma) ** 2) * pair_valid)
+    if mode == "none":
+        return jnp.zeros_like(de)
+    raise ValueError(f"unknown distance prior mode {mode!r}")
+
+
+class _AttentionStream(nn.Module):
+    """One cross-attention stream: Att(Q=A.Wq, K=B.Wk, V=B.Wv) + LN/FFN/LN."""
+    dim: int
+    bias_mode: str       # how the distance prior enters the logits
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_src: jnp.ndarray, kv_src: jnp.ndarray,
+                 prior: jnp.ndarray, pair_valid: jnp.ndarray) -> jnp.ndarray:
+        init = nn.initializers.kaiming_normal()
+        wq = self.param("WQ", init, (self.dim, self.dim))
+        wk = self.param("WK", init, (self.dim, self.dim))
+        wv = self.param("WV", init, (self.dim, self.dim))
+
+        q = q_src @ wq
+        k = kv_src @ wk
+        v = kv_src @ wv
+        logits = jnp.einsum("bnd,bmd->bnm", q, k)
+        if self.bias_mode == "mult":
+            # DAFM: logits * E_r / sqrt(d) (gat_model.py:489)
+            logits = logits * prior / self.dim ** 0.5
+        else:
+            logits = logits / self.dim ** 0.5 + prior
+        att = masked_softmax(logits, pair_valid, axis=-1)
+        out = jnp.einsum("bnm,bmd->bnd", att, v)
+
+        out = nn.LayerNorm(name="LN1")(out + kv_src)
+        out = out + FFN(self.dim, name="FFN")(out)
+        return nn.LayerNorm(name="LN2")(out)
+
+
+class FusionAttentionLayer(nn.Module):
+    """One DAFM layer: R' and L' streams, both modulated by the same E_r
+    (reference gat_model.py:466-511 — note the L stream also uses E_r, :503)."""
+    dim: int = 512
+    sigma: float = 10.0
+    prior_mode: str = "mult_softmax"
+    bias_mode: str = "mult"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, lidar: jnp.ndarray, de: jnp.ndarray,
+                 pair_valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        prior = distance_prior(de, pair_valid, self.sigma, self.prior_mode)
+        r_prime = _AttentionStream(self.dim, self.bias_mode, self.dtype,
+                                   name="stream_r")(lidar, rgb, prior, pair_valid)
+        l_prime = _AttentionStream(self.dim, self.bias_mode, self.dtype,
+                                   name="stream_l")(rgb, lidar, prior, pair_valid)
+        return r_prime, l_prime
+
+
+class DAFM(nn.Module):
+    """Stacked distance-aware fusion, elementwise-max merge.
+
+    fusion='Attention_mat' => 2 layers of FusionAttention_mat + max merge
+    (reference gat_model.py:1467-1475). Other fusion names select the
+    matching prior/bias and merge.
+    """
+    fusion: str = "Attention_mat"
+    dim: int = 512
+    sigma: float = 10.0
+    num_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, lidar: jnp.ndarray, de: jnp.ndarray,
+                 pair_valid: jnp.ndarray) -> jnp.ndarray:
+        if self.fusion == "sum":
+            return rgb + lidar
+        if self.fusion == "concat":
+            return jnp.concatenate([rgb, lidar], axis=-1)
+
+        prior_mode, bias_mode, merge = {
+            "Attention_mat": ("mult_softmax", "mult", "max"),
+            "Attention_normal": ("none", "add", "max"),
+            "Attention_gaussian": ("add_gauss", "add", "max"),
+            "Attention_exp": ("add_exp", "add", "max"),
+            "Attention_multi_cat": ("add_exp", "add", "concat"),
+        }[self.fusion]
+
+        r, l = rgb, lidar
+        for i in range(self.num_layers):
+            r, l = FusionAttentionLayer(
+                dim=self.dim, sigma=self.sigma, prior_mode=prior_mode,
+                bias_mode=bias_mode, dtype=self.dtype,
+                name=f"layer_{i}")(r, l, de, pair_valid)
+        if merge == "max":
+            return jnp.maximum(r, l)
+        return jnp.concatenate([r, l], axis=-1)

@@ -1,0 +1,274 @@
+"""Sparse 3D convolution backbone (VoxelBackBone8x), TPU-native.
+
+Capability parity with reference pcdet/models/backbones_3d/spconv_backbone.py:69-181
+(spconv SubMConv3d / SparseConv3d stacks emitting multi-scale features at
+strides 1/2/4/8), rebuilt without spconv: XLA has no sparse-conv primitive, so
+every layer is expressed as gather -> batched GEMM -> accumulate over the K^3
+kernel taps (the "gather-GEMM-scatter" scheme, SURVEY.md §7.2.5b(i)):
+
+  * active voxels live in fixed-size padded arrays (B, M, C) + (B, M, 3) zyx
+    coords + (B, M) masks — static shapes for XLA;
+  * neighbor resolution uses sorted-linear-key binary search (ops/voxel.py)
+    instead of spconv's hash rulebook or a dense 640 MB index grid;
+  * submanifold layers keep the active set; strided layers derive the
+    downsampled active set with jnp.unique(size=...) (fixed output cap);
+  * all matmuls are (M, Cin) x (Cin, Cout) GEMMs batched over the 27 taps —
+    MXU-friendly — and BatchNorm is computed under the voxel validity mask.
+
+Weight layout: (K^3, Cin, Cout), tap order = ops.voxel.kernel_offsets scan
+order (z outer, x inner), correlation orientation (out[p] += W[off] @ in[p+off]).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops import voxel as vox
+from .layers import MaskedBatchNorm
+
+
+@flax.struct.dataclass
+class SparseTensor:
+    """Padded batch of sparse voxel sets."""
+    features: jnp.ndarray                         # (B, M, C)
+    coords: jnp.ndarray                           # (B, M, 3) int32 zyx
+    valid: jnp.ndarray                            # (B, M) bool
+    spatial_shape: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+
+
+def _neighbor_idx_subm(coords, valid, spatial_shape, kernel_size):
+    """(B, M, K^3) row indices of each voxel's neighbors (-1 if absent)."""
+    offs = vox.kernel_offsets(kernel_size)                       # (K3, 3)
+
+    def per_item(c, v):
+        table = vox.build_lookup(c, v, spatial_shape)
+        nbr = c[:, None, :] + offs[None, :, :]                   # (M, K3, 3)
+        nv = jnp.broadcast_to(v[:, None], nbr.shape[:2])
+        return vox.lookup(table, nbr, nv, spatial_shape)
+
+    return jax.vmap(per_item)(coords, valid)
+
+
+class SubMConv3d(nn.Module):
+    """Submanifold sparse conv: active set unchanged, neighbors gathered.
+
+    Matches spconv.SubMConv3d(kernel=3, stride=1) semantics (reference
+    spconv_backbone.py:12): output only at input-active sites.
+    """
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor,
+                 neighbor_idx: jnp.ndarray | None = None) -> SparseTensor:
+        k3 = self.kernel_size ** 3
+        cin = st.features.shape[-1]
+        w = self.param("kernel", nn.initializers.kaiming_normal(),
+                       (k3, cin, self.out_channels))
+        if neighbor_idx is None:
+            neighbor_idx = _neighbor_idx_subm(
+                st.coords, st.valid, st.spatial_shape, self.kernel_size)
+
+        idx = jnp.clip(neighbor_idx, 0)                          # (B, M, K3)
+        hit = (neighbor_idx >= 0)[..., None].astype(st.features.dtype)
+        gathered = jax.vmap(lambda f, i: f[i])(st.features, idx)  # (B, M, K3, Cin)
+        gathered = gathered * hit
+        out = jnp.einsum("bmkc,kcd->bmd", gathered.astype(self.dtype),
+                         w.astype(self.dtype))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.out_channels,))
+        out = out * st.valid[..., None].astype(out.dtype)
+        return st.replace(features=out)
+
+
+def _downsample_shape(shape, kernel_size, stride, padding):
+    return tuple(
+        (d + 2 * p - kernel_size) // s + 1
+        for d, s, p in zip(shape, _tup3(stride), _tup3(padding)))
+
+
+def _tup3(v):
+    return (v, v, v) if isinstance(v, int) else tuple(v)
+
+
+def _downsample_active_set(coords, valid, in_shape, out_shape, kernel_size,
+                           stride, padding, max_out):
+    """Derive the strided-conv output active set (coords, valid) per item.
+
+    spconv.SparseConv3d semantics: output site o is active iff some input site
+    i = o*stride - pad + k (k in [0, K)^3) is active. From each input voxel we
+    emit all candidate outputs o = (i + pad - k) / stride (where divisible),
+    then dedupe with a fixed-size unique.
+    """
+    s = jnp.asarray(_tup3(stride), jnp.int32)
+    p = jnp.asarray(_tup3(padding), jnp.int32)
+    k = jnp.arange(kernel_size)
+    kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
+    koffs = jnp.stack([kz.ravel(), ky.ravel(), kx.ravel()], -1).astype(jnp.int32)
+
+    def per_item(c, v):
+        num = c[:, None, :] + p[None, None, :] - koffs[None, :, :]   # (M, K3, 3)
+        o = num // s
+        exact = (o * s == num).all(axis=-1)                          # divisibility
+        ov = v[:, None] & exact
+        keys = vox.linear_keys(o.reshape(-1, 3), ov.reshape(-1), out_shape)
+        uniq = jnp.unique(keys, size=max_out, fill_value=vox.INVALID_KEY)
+        out_valid = uniq != vox.INVALID_KEY
+        zdim, ydim, xdim = out_shape
+        safe = jnp.where(out_valid, uniq, 0)
+        oz = safe // (ydim * xdim)
+        oy = (safe // xdim) % ydim
+        ox = safe % xdim
+        out_coords = jnp.stack([oz, oy, ox], axis=-1).astype(jnp.int32)
+        return out_coords, out_valid
+
+    return jax.vmap(per_item)(coords, valid)
+
+
+class SparseConv3dDown(nn.Module):
+    """Strided sparse conv (spconv.SparseConv3d): new, coarser active set."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: Any = 2
+    padding: Any = 1
+    max_out_voxels: int = 16000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        k3 = self.kernel_size ** 3
+        cin = st.features.shape[-1]
+        w = self.param("kernel", nn.initializers.kaiming_normal(),
+                       (k3, cin, self.out_channels))
+        out_shape = _downsample_shape(st.spatial_shape, self.kernel_size,
+                                      self.stride, self.padding)
+        out_coords, out_valid = _downsample_active_set(
+            st.coords, st.valid, st.spatial_shape, out_shape, self.kernel_size,
+            self.stride, self.padding, self.max_out_voxels)
+
+        s = jnp.asarray(_tup3(self.stride), jnp.int32)
+        p = jnp.asarray(_tup3(self.padding), jnp.int32)
+        k = jnp.arange(self.kernel_size)
+        kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
+        koffs = jnp.stack([kz.ravel(), ky.ravel(), kx.ravel()], -1).astype(jnp.int32)
+
+        def gather_item(in_c, in_v, in_f, oc, ov):
+            table = vox.build_lookup(in_c, in_v, st.spatial_shape)
+            src = oc[:, None, :] * s[None, None, :] - p[None, None, :] \
+                + koffs[None, :, :]                                # (Mo, K3, 3)
+            sv = jnp.broadcast_to(ov[:, None], src.shape[:2])
+            idx = vox.lookup(table, src, sv, st.spatial_shape)     # (Mo, K3)
+            hit = (idx >= 0)[..., None].astype(in_f.dtype)
+            g = in_f[jnp.clip(idx, 0)] * hit                       # (Mo, K3, Cin)
+            return g
+
+        gathered = jax.vmap(gather_item)(
+            st.coords, st.valid, st.features, out_coords, out_valid)
+        out = jnp.einsum("bmkc,kcd->bmd", gathered.astype(self.dtype),
+                         w.astype(self.dtype))
+        out = out * out_valid[..., None].astype(out.dtype)
+        return SparseTensor(features=out, coords=out_coords, valid=out_valid,
+                            spatial_shape=out_shape)
+
+
+class SparseConvBlock(nn.Module):
+    """conv (subm or strided) + masked BN(eps=1e-3, momentum=0.01) + ReLU.
+
+    Reference post_act_block (spconv_backbone.py:8-27).
+    """
+    out_channels: int
+    conv_type: str = "subm"     # subm | spconv
+    stride: Any = 1
+    padding: Any = 1
+    max_out_voxels: int = 16000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False,
+                 neighbor_idx: jnp.ndarray | None = None) -> SparseTensor:
+        if self.conv_type == "subm":
+            st = SubMConv3d(self.out_channels, dtype=self.dtype,
+                            name="conv")(st, neighbor_idx)
+        elif self.conv_type == "spconv":
+            st = SparseConv3dDown(self.out_channels, stride=self.stride,
+                                  padding=self.padding,
+                                  max_out_voxels=self.max_out_voxels,
+                                  dtype=self.dtype, name="conv")(st)
+        else:
+            raise ValueError(self.conv_type)
+        f = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         momentum=0.99, name="bn")(
+            st.features,
+            mask=jnp.broadcast_to(st.valid[..., None], st.features.shape)
+            if train else None)
+        f = nn.relu(f) * st.valid[..., None].astype(st.features.dtype)
+        return st.replace(features=f)
+
+
+class VoxelBackbone8x(nn.Module):
+    """4-stage sparse U-stem: 16 -> 32 -> 64 -> 64 channels at strides 1/2/4/8.
+
+    Reference VoxelBackBone8x (spconv_backbone.py:69-181). Submanifold layers
+    sharing an ``indice_key`` reuse one neighbor-index map (built once per
+    stage), mirroring spconv's rulebook caching.
+
+    Returns multi_scale features {x_conv1..x_conv4} with strides {1, 2, 4, 8}.
+    """
+    max_voxels_per_stage: Tuple[int, int, int, int] = (16000, 16000, 8000, 4000)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False
+                 ) -> Dict[str, SparseTensor]:
+        caps = self.max_voxels_per_stage
+
+        # stage 1: conv_input + conv1 (subm, shared indice_key 'subm1')
+        nbr1 = _neighbor_idx_subm(st.coords, st.valid, st.spatial_shape, 3)
+        x = SparseConvBlock(16, "subm", dtype=self.dtype,
+                            name="conv_input")(st, train, nbr1)
+        x1 = SparseConvBlock(16, "subm", dtype=self.dtype,
+                             name="conv1_0")(x, train, nbr1)
+
+        # stage 2: strided down + 2 subm ('subm2')
+        x = SparseConvBlock(32, "spconv", stride=2, padding=1,
+                            max_out_voxels=caps[1], dtype=self.dtype,
+                            name="conv2_down")(x1, train)
+        nbr2 = _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+        x = SparseConvBlock(32, "subm", dtype=self.dtype,
+                            name="conv2_1")(x, train, nbr2)
+        x2 = SparseConvBlock(32, "subm", dtype=self.dtype,
+                             name="conv2_2")(x, train, nbr2)
+
+        # stage 3
+        x = SparseConvBlock(64, "spconv", stride=2, padding=1,
+                            max_out_voxels=caps[2], dtype=self.dtype,
+                            name="conv3_down")(x2, train)
+        nbr3 = _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+        x = SparseConvBlock(64, "subm", dtype=self.dtype,
+                            name="conv3_1")(x, train, nbr3)
+        x3 = SparseConvBlock(64, "subm", dtype=self.dtype,
+                             name="conv3_2")(x, train, nbr3)
+
+        # stage 4: z-padding 0 (reference spconv_backbone.py:104)
+        x = SparseConvBlock(64, "spconv", stride=2, padding=(0, 1, 1),
+                            max_out_voxels=caps[3], dtype=self.dtype,
+                            name="conv4_down")(x3, train)
+        nbr4 = _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+        x = SparseConvBlock(64, "subm", dtype=self.dtype,
+                            name="conv4_1")(x, train, nbr4)
+        x4 = SparseConvBlock(64, "subm", dtype=self.dtype,
+                             name="conv4_2")(x, train, nbr4)
+
+        return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4}
+
+
+BACKBONE_STRIDES = {"x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8}
+BACKBONE_CHANNELS = {"x_conv1": 16, "x_conv2": 32, "x_conv3": 64, "x_conv4": 64}

@@ -1,0 +1,29 @@
+"""Test environment: force an 8-device virtual CPU mesh.
+
+jax is pre-imported by the host's sitecustomize with JAX_PLATFORMS=axon (a
+tunneled TPU with per-op network dispatch), so the platform must be overridden
+through jax.config *before the backend initializes* — setting the env var here
+is too late. A persistent compilation cache keeps repeated test runs fast on
+the single-core host.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import pytest
+
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() == 8
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
