@@ -10,6 +10,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """sqrt with a zero (not inf/NaN) gradient at 0.
+
+    Padded actors share coordinates, so pairwise distances hit exactly 0 where
+    the mask is 0; sqrt'(0) = inf would poison gradients through the mask
+    multiply (0 * inf = NaN). Double-where keeps both value and grad clean.
+    """
+    safe = jnp.where(x > eps, x, eps)
+    return jnp.where(x > eps, jnp.sqrt(safe), 0.0)
+
+
 def pairwise_giou_2d(boxes: jnp.ndarray) -> jnp.ndarray:
     """Pairwise generalized IoU over (N, 4) boxes in (x1, y1, x2, y2) format.
 
@@ -52,7 +63,7 @@ def pairwise_euclidean(points: jnp.ndarray, zero_diagonal: bool = True) -> jnp.n
     if zero_diagonal:
         n = points.shape[0]
         d2 = d2 * (1.0 - jnp.eye(n, dtype=points.dtype))
-    return jnp.sqrt(d2)
+    return safe_sqrt(d2)
 
 
 def rotate_points_along_z(points: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +90,6 @@ def pairwise_cosine_similarity(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray
     Matches torchmetrics pairwise_cosine_similarity(zero_diagonal=False)
     as used for the Dv matrix at reference gat_model.py:1335.
     """
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    norm = safe_sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     xn = x / jnp.maximum(norm, eps)
     return xn @ xn.T

@@ -1,0 +1,114 @@
+"""Synthetic fixtures: tiny configs and random-but-consistent batches.
+
+Used by the test suite, __graft_entry__.py and bench.py. This is the synthetic
+mini-JRDB stand-in (SURVEY.md §4c) until the real data pipeline lands.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (Config, DataConfig, LiDARBackboneConfig,
+                                       PointCloudConfig, PoolLayerConfig,
+                                       VoxelizationConfig)
+from ..types import Batch
+
+
+def tiny_config(num_people: int = 8, num_frames: int = 3,
+                image_hw=(64, 96), max_voxels: int = 512) -> Config:
+    """A miniature config that exercises every code path cheaply."""
+    cfg = Config()
+    pc = PointCloudConfig(
+        num_points=256,
+        range=(-8.0, -8.0, -2.0, 8.0, 8.0, 3.0),
+        voxel=VoxelizationConfig(voxel_size=(0.5, 0.5, 0.625),
+                                 max_voxels_train=max_voxels,
+                                 max_voxels_test=max_voxels),
+    )
+    data = dataclasses.replace(
+        cfg.data, image_size=image_hw, num_frames=num_frames,
+        num_boxes=num_people, point_cloud=pc)
+    lidar = dataclasses.replace(
+        cfg.model.lidar,
+        max_voxels_per_stage=(max_voxels, max_voxels, max_voxels // 2,
+                              max_voxels // 4),
+        pool_layers=(
+            PoolLayerConfig("x_conv2", (8, 8), (2, 2, 2), 1.0, 4),
+            PoolLayerConfig("x_conv3", (8, 8), (2, 2, 2), 2.0, 4),
+            PoolLayerConfig("x_conv4", (8, 8), (2, 2, 2), 4.0, 4),
+        ),
+        grid_pool_size=3,
+    )
+    model = dataclasses.replace(cfg.model, lidar=lidar)
+    return dataclasses.replace(cfg, data=data, model=model)
+
+
+def synthetic_batch(cfg: Config, batch_size: int = 1, seed: int = 0,
+                    n_valid: int | None = None) -> Batch:
+    """Random but internally consistent padded batch."""
+    rng = np.random.default_rng(seed)
+    d = cfg.data
+    pc = d.point_cloud
+    h, w = d.image_size
+    n = d.num_boxes
+    t = d.num_frames
+    m = pc.voxel.max_voxels_train
+    p = pc.voxel.max_points_per_voxel
+    nv = n_valid if n_valid is not None else max(2, n // 2)
+
+    images = rng.normal(size=(batch_size, t, h, w, 3)).astype(np.float32)
+
+    boxes2d = np.zeros((batch_size, n, 4), np.float32)
+    xy = rng.uniform(0, [w - 20, h - 20], size=(batch_size, n, 2))
+    wh = rng.uniform(5, 20, size=(batch_size, n, 2))
+    boxes2d[..., :2] = xy
+    boxes2d[..., 2:] = xy + wh
+
+    boxes3d = np.zeros((batch_size, n, 7), np.float32)
+    boxes3d[..., 0:2] = rng.uniform(pc.range[0] + 2, pc.range[3] - 2,
+                                    size=(batch_size, n, 2))
+    boxes3d[..., 2] = rng.uniform(-0.5, 0.5, size=(batch_size, n))
+    boxes3d[..., 3:6] = rng.uniform(0.5, 1.5, size=(batch_size, n, 3))
+    boxes3d[..., 6] = rng.uniform(-np.pi, np.pi, size=(batch_size, n))
+
+    valid = np.zeros((batch_size, n), bool)
+    valid[:, :nv] = True
+    boxes2d *= valid[..., None]
+    boxes3d *= valid[..., None]
+
+    sgid = rng.integers(0, max(nv // 2, 1), size=(batch_size, n)).astype(np.int32)
+    sgid[~valid] = -1
+    actions = (rng.uniform(size=(batch_size, n, 27)) < 0.15).astype(np.float32)
+    actions *= valid[..., None]
+    activity = (rng.uniform(size=(batch_size, n, 27)) < 0.15).astype(np.float32)
+    activity *= valid[..., None]
+
+    # voxels: random in-range points, consistent coords
+    nx, ny, nz = pc.grid_size
+    mv = max(m // 2, 1)
+    pts = rng.uniform(
+        low=[pc.range[0], pc.range[1], pc.range[2], 0],
+        high=[pc.range[3], pc.range[4], pc.range[5], 1],
+        size=(batch_size, m, p, 4)).astype(np.float32)
+    vs = np.asarray(pc.voxel.voxel_size)
+    coords_xyz = ((pts[:, :, 0, :3] - np.asarray(pc.range[:3])) // vs).astype(np.int32)
+    coords_xyz = np.clip(coords_xyz, 0, np.asarray([nx - 1, ny - 1, nz - 1]))
+    coords = coords_xyz[..., ::-1].copy()          # zyx
+    num_points = rng.integers(1, p + 1, size=(batch_size, m)).astype(np.int32)
+    vvalid = np.zeros((batch_size, m), bool)
+    vvalid[:, :mv] = True
+    coords[~vvalid] = -1
+
+    return Batch(
+        images=jnp.asarray(images), boxes2d=jnp.asarray(boxes2d),
+        boxes3d=jnp.asarray(boxes3d), person_valid=jnp.asarray(valid),
+        social_group_id=jnp.asarray(sgid), actions=jnp.asarray(actions),
+        social_group_activity=jnp.asarray(activity),
+        voxels=jnp.asarray(pts), voxel_coords=jnp.asarray(coords),
+        voxel_num_points=jnp.asarray(num_points),
+        voxel_valid=jnp.asarray(vvalid),
+        seq_id=jnp.zeros((batch_size,), jnp.int32),
+        frame_id=jnp.zeros((batch_size,), jnp.int32),
+    )
