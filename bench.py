@@ -14,9 +14,9 @@ from __future__ import annotations
 import json
 import time
 
-# Pinned single-core CPU baseline of this same benchmark program (measured on
-# the dev host; see bench_cpu_baseline() to re-measure).
-CPU_BASELINE_CLIPS_PER_SEC = 0.05
+# Pinned single-core CPU baseline of this exact benchmark program, measured on
+# the dev host (1 core): 3 jitted iterations of the flagship eval forward.
+CPU_BASELINE_CLIPS_PER_SEC = 0.0577
 
 
 def build():

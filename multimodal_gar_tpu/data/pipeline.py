@@ -1,0 +1,83 @@
+"""Batched input pipeline: sharded sampling + background prefetch.
+
+TPU-native replacement for torch DataLoader(num_workers=4, collate_fn=...)
+(reference train_func.py:505-507) and the dormant epoch-seeded
+DistributedSampler (pcdet datasets/__init__.py:31-51): each host process
+deterministically takes every ``shard_count``-th batch, shuffling is seeded
+per epoch, and a background thread overlaps host decode with device compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..types import Batch
+from .jrdb import JRDBActDataset, collate
+
+
+class DataPipeline:
+    def __init__(self, dataset: JRDBActDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 2023,
+                 shard_index: int = 0, shard_count: int = 1,
+                 drop_last: bool = True, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def steps_per_epoch(self) -> int:
+        n_batches = len(self.dataset) // self.batch_size if self.drop_last \
+            else -(-len(self.dataset) // self.batch_size)
+        return max(n_batches // self.shard_count, 1)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            # epoch-seeded deterministic shuffle (DistributedSampler semantics)
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        """Yield collated batches for one epoch (this shard's slice)."""
+        order = self._epoch_order(epoch)
+        n_full = len(order) // self.batch_size
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_full)]
+        if not self.drop_last and len(order) % self.batch_size:
+            batches.append(order[n_full * self.batch_size:])
+        my_batches = batches[self.shard_index::self.shard_count]
+
+        if self.prefetch <= 0:
+            for b in my_batches:
+                yield collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in my_batches:
+                    if stop.is_set():
+                        return
+                    q.put(collate([self.dataset[int(i)] for i in b]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

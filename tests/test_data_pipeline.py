@@ -1,0 +1,133 @@
+"""Data pipeline tests: voxelizer semantics, PCD IO, synthetic JRDB end-to-end."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_gar_tpu.config import (DataConfig, PointCloudConfig,
+                                       VoxelizationConfig)
+from multimodal_gar_tpu.data.jrdb import JRDBActDataset, collate
+from multimodal_gar_tpu.data.pipeline import DataPipeline
+from multimodal_gar_tpu.data.pointcloud import load_pcd, sample_points
+from multimodal_gar_tpu.data.synthetic import _write_pcd, write_synthetic_jrdb
+from multimodal_gar_tpu.data.voxelizer import Voxelizer
+
+
+def test_voxelizer_first_come_order_and_caps():
+    vox = Voxelizer(voxel_size=(1.0, 1.0, 1.0),
+                    point_cloud_range=(0, 0, 0, 4, 4, 4),
+                    max_points_per_voxel=2, max_voxels=3)
+    pts = np.array([
+        [0.5, 0.5, 0.5, 1.0],   # voxel A (first)
+        [1.5, 0.5, 0.5, 2.0],   # voxel B
+        [0.6, 0.6, 0.6, 3.0],   # voxel A again
+        [0.7, 0.7, 0.7, 4.0],   # voxel A third point -> dropped (cap 2)
+        [2.5, 2.5, 2.5, 5.0],   # voxel C
+        [3.5, 3.5, 3.5, 6.0],   # voxel D -> dropped (max_voxels 3)
+        [9.0, 0.5, 0.5, 7.0],   # out of range
+    ], np.float32)
+    out = vox(pts)
+    assert out.voxels.shape[0] == 3
+    np.testing.assert_array_equal(out.num_points, [2, 1, 1])
+    # appearance order: A, B, C; coords are zyx
+    np.testing.assert_array_equal(out.coords, [[0, 0, 0], [0, 0, 1], [2, 2, 2]])
+    # voxel A keeps its first two points in input order
+    np.testing.assert_allclose(out.voxels[0, :, 3], [1.0, 3.0])
+    np.testing.assert_allclose(out.voxels[1, 0, 3], 2.0)
+
+
+def test_voxelizer_handles_empty():
+    vox = Voxelizer((1, 1, 1), (0, 0, 0, 2, 2, 2), 2, 4)
+    out = vox(np.zeros((0, 4), np.float32))
+    assert out.voxels.shape[0] == 0
+
+
+def test_pcd_binary_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).uniform(-1, 1, (50, 4)).astype(np.float32)
+    path = str(tmp_path / "x.pcd")
+    _write_pcd(path, pts)
+    loaded = load_pcd(path)
+    np.testing.assert_allclose(loaded, pts, rtol=1e-6)
+
+
+def test_sample_points_up_and_down():
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    up = sample_points(pts, 16)
+    dn = sample_points(pts, 4)
+    assert up.shape == (16, 3) and dn.shape == (4, 3)
+
+
+@pytest.fixture(scope="module")
+def mini_jrdb(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("jrdb"))
+    write_synthetic_jrdb(root, num_seqs=2, frames_per_seq=4,
+                         people_per_frame=5, image_hw=(60, 100))
+    return root
+
+
+def _data_cfg(root):
+    pc = PointCloudConfig(
+        num_points=128, range=(-6.0, -6.0, -2.0, 6.0, 6.0, 3.0),
+        voxel=VoxelizationConfig((0.5, 0.5, 0.625), 5, 256, 256))
+    return DataConfig(root=root, image_size=(60, 100), num_frames=3,
+                      num_boxes=8, point_cloud=pc)
+
+
+def test_dataset_sample_shapes(mini_jrdb):
+    ds = JRDBActDataset(_data_cfg(mini_jrdb), split="train")
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["images"].shape == (3, 60, 100, 3)
+    assert s["boxes2d"].shape == (8, 4)
+    assert s["person_valid"].sum() == 5
+    assert s["voxel_valid"].any()
+    # 2d boxes scaled to pixels, xyxy
+    b = s["boxes2d"][s["person_valid"]]
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+    assert b[:, 2].max() <= 100 and b[:, 3].max() <= 60
+
+
+def test_pipeline_batches_and_sharding(mini_jrdb):
+    ds = JRDBActDataset(_data_cfg(mini_jrdb), split="train")
+    pipe = DataPipeline(ds, batch_size=2, shuffle=True, prefetch=1)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 4
+    assert batches[0].images.shape == (2, 3, 60, 100, 3)
+    # deterministic per-epoch order
+    again = list(pipe.epoch(0))
+    np.testing.assert_array_equal(np.asarray(batches[0].seq_id),
+                                  np.asarray(again[0].seq_id))
+    # sharding partitions the batches
+    s0 = list(DataPipeline(ds, 2, shard_index=0, shard_count=2,
+                           prefetch=0).epoch(0))
+    s1 = list(DataPipeline(ds, 2, shard_index=1, shard_count=2,
+                           prefetch=0).epoch(0))
+    assert len(s0) == 2 and len(s1) == 2
+
+
+def test_batch_feeds_model(mini_jrdb):
+    """Synthetic on-disk dataset -> pipeline -> full MGAR forward."""
+    import jax
+    from functools import partial
+
+    from multimodal_gar_tpu.config import Config, PoolLayerConfig
+    from multimodal_gar_tpu.models import MGAR
+
+    dcfg = _data_cfg(mini_jrdb)
+    ds = JRDBActDataset(dcfg, split="train")
+    batch = collate([ds[0]])
+
+    cfg = Config()
+    cfg = dataclasses.replace(cfg, data=dcfg)
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, lidar=dataclasses.replace(
+            cfg.model.lidar, max_voxels_per_stage=(256, 256, 128, 64),
+            grid_pool_size=3,
+            pool_layers=(PoolLayerConfig("x_conv2", (8, 8), (2, 2, 2), 1.0, 4),
+                         PoolLayerConfig("x_conv3", (8, 8), (2, 2, 2), 2.0, 4),
+                         PoolLayerConfig("x_conv4", (8, 8), (2, 2, 2), 4.0, 4)))))
+    model = MGAR(cfg)
+    v = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), batch)
+    out = jax.jit(partial(model.apply, train=False))(v, batch)
+    assert np.isfinite(np.asarray(out.a_theta)).all()
