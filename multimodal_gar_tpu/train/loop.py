@@ -1,0 +1,100 @@
+"""The training driver: staged training + per-epoch JRDB eval + best ckpt.
+
+Capability parity with reference train_func.py:67-557 (train_net + the
+module-level driver): two-stage Adam training, per-epoch evaluation through
+the JRDB-Act AP harness, best-checkpoint selection on
+activity_AP * grouping_AP (grouping_AP alone for the L_bce stage,
+train_func.py:317-320), all metric logging — TPU-native: one jitted train
+step over a device mesh, orbax checkpoints, pluggable metric writer.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+
+from ..config import Config
+from ..data.jrdb import JRDBActDataset
+from ..data.pipeline import DataPipeline
+from ..eval.evaluator import evaluate_epoch
+from ..models import MGAR
+from ..parallel.mesh import make_mesh, shard_batch, shard_train_state
+from ..types import Batch
+from ..utils.metrics import MetricWriter, Timer
+from .checkpoint import CheckpointManager
+from .train_state import (TrainState, create_train_state, make_eval_step,
+                          make_train_step)
+
+
+def run_training(cfg: Config, workdir: str,
+                 train_ds: Optional[JRDBActDataset] = None,
+                 val_ds: Optional[JRDBActDataset] = None,
+                 use_mesh: bool = True,
+                 max_steps_per_epoch: Optional[int] = None) -> Dict[str, float]:
+    """Run all configured stages; returns the final eval metrics."""
+    train_ds = train_ds or JRDBActDataset(cfg.data, "train", training=True)
+    val_ds = val_ds or JRDBActDataset(cfg.data, "test", training=False)
+
+    train_pipe = DataPipeline(train_ds, cfg.train.batch_size,
+                              shuffle=cfg.train.shuffle, seed=cfg.train.seed)
+    val_pipe = DataPipeline(val_ds, cfg.train.batch_size, shuffle=False,
+                            drop_last=False)
+
+    mesh = make_mesh(cfg.mesh) if use_mesh and jax.device_count() > 1 else None
+    writer = MetricWriter(os.path.join(workdir, "logs"))
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    timer = Timer()
+
+    model = MGAR(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    init_batch = next(iter(train_pipe.epoch(0)))
+    steps_per_epoch = train_pipe.steps_per_epoch()
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    metrics: Dict[str, float] = {}
+    global_step = 0
+    for stage_idx, stage in enumerate(cfg.train.stages):
+        if stage.epochs <= 0:
+            continue
+        state, tx = create_train_state(cfg, model, init_batch, rng, stage,
+                                       steps_per_epoch)
+        if mesh is not None:
+            state = shard_train_state(state, mesh)
+        train_step = jax.jit(make_train_step(model, tx, stage.loss))
+        eval_step = jax.jit(make_eval_step(model))
+
+        for epoch in range(stage.epochs):
+            for i, batch in enumerate(train_pipe.epoch(epoch)):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                state, step_metrics = train_step(state, batch, rng)
+                global_step += 1
+                if global_step % cfg.train.log_every_steps == 0:
+                    writer.write(global_step,
+                                 {k: float(v) for k, v in step_metrics.items()},
+                                 prefix="train/")
+
+            if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                metrics = evaluate_epoch(
+                    lambda b: eval_step(state, b), val_pipe.epoch(0),
+                    result_dir=os.path.join(workdir, "results",
+                                            f"s{stage_idx}_e{epoch}"))
+                # best-score rule (train_func.py:317-320)
+                if stage.loss == "L_bce":
+                    score = metrics["overall_AP"]
+                else:
+                    score = metrics["activity_AP"] * metrics["overall_AP"]
+                metrics["score"] = score
+                writer.write(global_step, metrics, prefix="val/")
+                ckpt.save(global_step, state, metrics)
+            print(f"stage {stage_idx} epoch {epoch} done "
+                  f"({timer.epochtime():.1f}s)", flush=True)
+
+    writer.close()
+    ckpt.close()
+    return metrics
