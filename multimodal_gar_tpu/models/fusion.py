@@ -97,6 +97,87 @@ class FusionAttentionLayer(nn.Module):
         return r_prime, l_prime
 
 
+class CrossAttentionFusion(nn.Module):
+    """8-head bidirectional cross attention, max merge.
+
+    Reference cross_attention_fusion (gat_model.py:15-41): R' = MHA(Q=L, K=R,
+    V=R) + R -> LN -> FFN -> LN; symmetric L' stream; elementwise max.
+    """
+    dim: int = 512
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, lidar, pair_valid):
+        mask = pair_valid[:, None, :, :]                       # (B, 1, N, N)
+
+        def stream(q_src, kv_src, prefix):
+            att = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                name=f"{prefix}_mha")(q_src, kv_src, kv_src, mask=mask)
+            x = nn.LayerNorm(name=f"{prefix}_ln1")(att + kv_src)
+            x = x + FFN(self.dim, name=f"{prefix}_ffn")(x)
+            return nn.LayerNorm(name=f"{prefix}_ln2")(x)
+
+        r = stream(lidar, rgb, "r")
+        l = stream(rgb, lidar, "l")
+        return jnp.maximum(r, l)
+
+
+class CatAndAttFusion(nn.Module):
+    """concat -> Linear(1024, 512) -> self-MHA -> LN -> FFN -> LN.
+
+    Reference 'catandAtt' branch (gat_model.py:1234-1239, 1423-1428).
+    """
+    dim: int = 512
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, lidar, pair_valid):
+        x = nn.Dense(self.dim, name="FL")(
+            jnp.concatenate([rgb, lidar], axis=-1))
+        att = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="att")(
+            x, x, x, mask=pair_valid[:, None, :, :])
+        x = nn.LayerNorm(name="LN")(x + att)
+        x = nn.LayerNorm(name="LN2")(FFN(self.dim, name="FL2")(x) + x)
+        return x
+
+
+class MMCAStyleFusion(nn.Module):
+    """Joint self-attention over the concatenated [R; L] token set (2N).
+
+    Reference FusionAttention_MMCA_sty (gat_model.py:519-591): single shared
+    W_Q/K/V over the stacked 2N x D sequence, then split and max-merge.
+    """
+    dim: int = 512
+    num_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, lidar, pair_valid):
+        n_actors = pair_valid.shape[1]
+        diag = jnp.arange(n_actors)
+        valid = pair_valid[:, diag, diag]                       # (B, N)
+        valid2 = jnp.concatenate([valid, valid], axis=1)        # (B, 2N)
+        pv = valid2[:, None, :] & valid2[:, :, None]
+        x = jnp.concatenate([rgb, lidar], axis=1)               # (B, 2N, D)
+        init = nn.initializers.kaiming_normal()
+        for i in range(self.num_layers):
+            wq = self.param(f"WQ_{i}", init, (self.dim, self.dim))
+            wk = self.param(f"WK_{i}", init, (self.dim, self.dim))
+            wv = self.param(f"WV_{i}", init, (self.dim, self.dim))
+            logits = jnp.einsum("bnd,bmd->bnm", x @ wq, x @ wk) / self.dim ** 0.5
+            att = masked_softmax(logits, pv, axis=-1)
+            y = jnp.einsum("bnm,bmd->bnd", att, x @ wv)
+            y = nn.LayerNorm(name=f"LN1_{i}")(y + x)
+            y = y + FFN(self.dim, name=f"FFN_{i}")(y)
+            x = nn.LayerNorm(name=f"LN2_{i}")(y)
+        n = rgb.shape[1]
+        return jnp.maximum(x[:, :n], x[:, n:])
+
+
 class DAFM(nn.Module):
     """Stacked distance-aware fusion, elementwise-max merge.
 
@@ -117,12 +198,23 @@ class DAFM(nn.Module):
             return rgb + lidar
         if self.fusion == "concat":
             return jnp.concatenate([rgb, lidar], axis=-1)
+        if self.fusion == "crossAtt":
+            return CrossAttentionFusion(dim=self.dim, dtype=self.dtype,
+                                        name="cross_att")(rgb, lidar, pair_valid)
+        if self.fusion == "catandAtt":
+            return CatAndAttFusion(dim=self.dim, dtype=self.dtype,
+                                   name="cat_and_att")(rgb, lidar, pair_valid)
+        if self.fusion == "Attention_MMCA_sty":
+            return MMCAStyleFusion(dim=self.dim, num_layers=self.num_layers,
+                                   dtype=self.dtype,
+                                   name="mmca")(rgb, lidar, pair_valid)
 
         prior_mode, bias_mode, merge = {
             "Attention_mat": ("mult_softmax", "mult", "max"),
             "Attention_normal": ("none", "add", "max"),
             "Attention_gaussian": ("add_gauss", "add", "max"),
             "Attention_exp": ("add_exp", "add", "max"),
+            "Attention_multi": ("add_exp", "add", "max"),
             "Attention_multi_cat": ("add_exp", "add", "concat"),
         }[self.fusion]
 

@@ -68,20 +68,48 @@ class GARFusionNet(nn.Module):
                          dtype=self.dtype, name="dafm")(rgb, lidar, de, pair_valid)
         fused = fused * valid[..., None].astype(fused.dtype)
 
-        # similarity + adjacency head (EUCLIDEAN branch, gat_model.py:1554-1564:
-        # A_theta = sigmoid(Linear(2->1)(cat(Dv, Dg))))
+        # similarity Dv + adjacency head. sim='cosine' is the active config;
+        # the Graph* learned-similarity variants (gat_model.py:1254-1271,
+        # 1294-1329) produce A_theta directly.
+        direct_a_theta = None
         if fcfg.sim == "cosine":
             dv = jax.vmap(pairwise_cosine_similarity)(fused) * pair_valid
+        elif fcfg.sim == "Graph":
+            # phi/sigma bilinear: Dv = phi sigma^T + sigma phi^T (:1294-1301)
+            phi = nn.Dense(32, name="sim_phi_1")(
+                nn.relu(nn.Dense(32, name="sim_phi_0")(fused)))
+            sig = nn.Dense(32, name="sim_sigma_1")(
+                nn.relu(nn.Dense(32, name="sim_sigma_0")(fused)))
+            dv = (jnp.einsum("bnd,bmd->bnm", phi, sig)
+                  + jnp.einsum("bnd,bmd->bnm", sig, phi)) * pair_valid
+        elif fcfg.sim in ("Graph2", "Graph3", "Graph4"):
+            geo = jnp.concatenate([fused, boxes3d[..., :3]], axis=-1)
+            if fcfg.sim == "Graph2":
+                phi = nn.Dense(8, name="sim_phi")(geo)
+                sig = nn.Dense(8, name="sim_sigma")(geo)
+                g = (jnp.einsum("bnd,bmd->bnm", phi, sig)
+                     + jnp.einsum("bnd,bmd->bnm", sig, phi))
+            elif fcfg.sim == "Graph3":
+                g = jnp.einsum("bnd,bmd->bnm", geo, geo) / geo.shape[-1]
+            else:  # Graph4
+                phi = nn.Dense(8, name="sim_phi")(geo)
+                g = jnp.einsum("bnd,bmd->bnm", phi, phi)
+            direct_a_theta = nn.sigmoid(g) * pair_valid
         else:
             raise NotImplementedError(f"sim={fcfg.sim}")
 
-        dvg = jnp.stack([dv, dg], axis=-1)                          # (B, N, N, 2)
-        if fcfg.euclidean:
-            a_theta = nn.sigmoid(nn.Dense(1, name="D_embed")(dvg))[..., 0]
+        if direct_a_theta is not None:
+            a_theta = direct_a_theta
         else:
-            h = nn.relu(nn.Dense(4, name="D_embed_0")(dvg))
-            a_theta = nn.sigmoid(nn.Dense(1, name="D_embed_1")(h))[..., 0]
-        a_theta = a_theta * pair_valid
+            # EUCLIDEAN branch (gat_model.py:1554-1564):
+            # A_theta = sigmoid(Linear(2->1)(cat(Dv, Dg)))
+            dvg = jnp.stack([dv, dg], axis=-1)                      # (B, N, N, 2)
+            if fcfg.euclidean:
+                a_theta = nn.sigmoid(nn.Dense(1, name="D_embed")(dvg))[..., 0]
+            else:
+                h = nn.relu(nn.Dense(4, name="D_embed_0")(dvg))
+                a_theta = nn.sigmoid(nn.Dense(1, name="D_embed_1")(h))[..., 0]
+            a_theta = a_theta * pair_valid
 
         # eval-mode diagonal fill (reference :1576-1577)
         if not train:
