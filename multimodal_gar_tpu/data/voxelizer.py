@@ -23,13 +23,15 @@ class VoxelizerOutput(NamedTuple):
 class Voxelizer:
     def __init__(self, voxel_size: Sequence[float],
                  point_cloud_range: Sequence[float],
-                 max_points_per_voxel: int, max_voxels: int):
+                 max_points_per_voxel: int, max_voxels: int,
+                 use_native: bool = True):
         self.voxel_size = np.asarray(voxel_size, np.float64)
         self.range = np.asarray(point_cloud_range, np.float64)
         self.max_points = max_points_per_voxel
         self.max_voxels = max_voxels
         self.grid_size = np.round(
             (self.range[3:6] - self.range[0:3]) / self.voxel_size).astype(np.int64)
+        self.use_native = use_native
 
     def __call__(self, points: np.ndarray) -> VoxelizerOutput:
         """Voxelize (N, C) points (first 3 columns = xyz).
@@ -38,6 +40,12 @@ class Voxelizer:
         gets index k; each voxel keeps its first ``max_points`` points; voxels
         beyond ``max_voxels`` are dropped (with all their points).
         """
+        if self.use_native and len(points):
+            from ..native import native_voxelize
+            res = native_voxelize(points, self.voxel_size, self.range,
+                                  self.max_points, self.max_voxels)
+            if res is not None:
+                return VoxelizerOutput(*res)
         c = points.shape[1]
         coords = np.floor(
             (points[:, :3] - self.range[:3]) / self.voxel_size).astype(np.int64)

@@ -1,0 +1,75 @@
+"""ctypes bindings to the native host components (native/libmgar_native.so).
+
+The shared library is optional: build with ``make -C native``. When absent,
+callers (data/voxelizer.py) fall back to the pure-numpy implementations.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libmgar_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _try_build() -> None:
+    src_dir = os.path.dirname(_LIB_PATH)
+    if os.path.exists(os.path.join(src_dir, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", src_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.mgar_voxelize.restype = ctypes.c_int
+    lib.mgar_voxelize.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int,          # points, n, c
+        f32p, f32p, f32p,                          # voxel_size, rmin, rmax
+        ctypes.c_int, ctypes.c_int,                # max_points, max_voxels
+        f32p, i32p, i32p]                          # out voxels/coords/nump
+    lib.mgar_transform_points.restype = None
+    lib.mgar_transform_points.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p]
+    _lib = lib
+    return lib
+
+
+def native_voxelize(points: np.ndarray, voxel_size, point_cloud_range,
+                    max_points_per_voxel: int, max_voxels: int
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ voxelization; returns (voxels, coords_zyx, num_points) or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    n, c = pts.shape
+    voxels = np.zeros((max_voxels, max_points_per_voxel, c), np.float32)
+    coords = np.zeros((max_voxels, 3), np.int32)
+    nump = np.zeros((max_voxels,), np.int32)
+    vs = np.ascontiguousarray(voxel_size, np.float32)
+    rmin = np.ascontiguousarray(point_cloud_range[:3], np.float32)
+    rmax = np.ascontiguousarray(point_cloud_range[3:6], np.float32)
+    m = lib.mgar_voxelize(pts, n, c, vs, rmin, rmax,
+                          max_points_per_voxel, max_voxels,
+                          voxels, coords, nump)
+    return voxels[:m], coords[:m], nump[:m]
