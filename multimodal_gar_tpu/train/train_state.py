@@ -50,6 +50,11 @@ def create_train_state(cfg: Config, model: MGAR, batch: Batch,
                        rng: jax.Array, stage: StageConfig,
                        steps_per_epoch: int) -> Tuple[TrainState, optax.GradientTransformation]:
     variables = model.init(rng, batch, train=False)
+    ckpt_path = getattr(cfg.model.rgb, "i3d_checkpoint", None)
+    if ckpt_path:
+        from ..models.i3d_convert import load_i3d_checkpoint
+        variables = load_i3d_checkpoint(variables, ckpt_path,
+                                        scope="rgb_backbone")
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict({}))
     tx = make_optimizer(stage, steps_per_epoch, cfg.train.grad_accum_steps,
