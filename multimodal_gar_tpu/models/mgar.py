@@ -174,16 +174,21 @@ class MGAR(nn.Module):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> ModelOutputs:
         mcfg = self.cfg.model
+        # backbone compute dtype from config (bfloat16 on TPU for MXU peak);
+        # the fusion/heads stay float32 (tiny, numerically sensitive).
+        bb_dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else self.dtype
         modality = mcfg.fusion.modality
         rgb = lidar = None
         if modality in ("RGB", "Multi"):
-            rgb = RGBBackbone(mcfg.rgb, dtype=self.dtype, name="rgb_backbone")(
-                batch.images, batch.boxes2d, train)
+            rgb = RGBBackbone(mcfg.rgb, dtype=bb_dtype, name="rgb_backbone")(
+                batch.images.astype(bb_dtype), batch.boxes2d, train)
+            rgb = rgb.astype(jnp.float32)
         if modality in ("LiDAR", "Multi"):
             lidar = LiDARBackbone(mcfg.lidar,
                                   pc_cfg=self.cfg.data.point_cloud,
-                                  dtype=self.dtype, name="lidar_backbone")(
+                                  dtype=bb_dtype, name="lidar_backbone")(
                 batch.voxels, batch.voxel_coords, batch.voxel_num_points,
                 batch.voxel_valid, batch.boxes3d, batch.person_valid, train)
+            lidar = lidar.astype(jnp.float32)
         return GARFusionNet(mcfg, dtype=self.dtype, name="gar_fusion")(
             rgb, lidar, batch.boxes2d, batch.boxes3d, batch.person_valid, train)

@@ -90,7 +90,6 @@ class NeighborVoxelPoolLayer(nn.Module):
         pc_min = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
 
         def per_item(coords, valid, feats, q_xyz, q_valid):
-            table = vox.build_lookup(coords, valid, st.spatial_shape)
             centers = vox.get_voxel_centers(coords, self.stride, self.voxel_size,
                                             self.point_cloud_range)
             # query voxel coords at this scale (reference voxelrcnn_head.py:103-107
@@ -99,8 +98,9 @@ class NeighborVoxelPoolLayer(nn.Module):
                 // self.stride
             q_zyx = q_grid[:, ::-1]
             idx, empty = vox.voxel_query(
-                table, centers, q_xyz, q_zyx, q_valid, st.spatial_shape,
-                self.query_range, self.radius, self.nsample)
+                None, centers, q_xyz, q_zyx, q_valid, st.spatial_shape,
+                self.query_range, self.radius, self.nsample,
+                voxel_coords=coords, voxel_valid=valid)
             grouped_f = feats[idx]                                   # (R, S, C)
             grouped_xyz = centers[idx] - q_xyz[:, None, :]           # (R, S, 3)
             zero = (~empty)[:, None, None].astype(grouped_f.dtype)

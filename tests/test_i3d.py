@@ -107,3 +107,20 @@ def test_checkpoint_conversion_shape_mismatch_raises():
     import pytest
     with pytest.raises(ValueError):
         load_i3d_checkpoint(wrapped, bad, scope="s")
+
+
+def test_s2d_stem_matches_direct_conv():
+    """The space-to-depth stem path must equal the plain SAME conv exactly."""
+    import jax.numpy as jnp
+    from multimodal_gar_tpu.models.i3d import _stem_conv_s2d
+    rng = np.random.default_rng(3)
+    for t, h, w in [(15, 36, 64), (15, 37, 63), (7, 20, 20)]:
+        x = jnp.asarray(rng.normal(size=(1, t, h, w, 3)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(7, 7, 7, 3, 8)).astype(np.float32)) * 0.1
+        direct = jax.lax.conv_general_dilated(
+            x, k, (2, 2, 2), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        fast = _stem_conv_s2d(x, k)
+        assert fast.shape == direct.shape, (fast.shape, direct.shape)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
