@@ -40,7 +40,8 @@ class JRDBActDataset:
     """Index + decode for JRDB-Act key-frame samples."""
 
     def __init__(self, cfg: DataConfig, split: str = "train",
-                 training: bool = True, min_people: int = 2):
+                 training: bool = True, min_people: int = 2,
+                 rulebook_caps=None):
         self.cfg = cfg
         self.split = split
         self.training = training
@@ -66,6 +67,8 @@ class JRDBActDataset:
             max_points_per_voxel=pc.voxel.max_points_per_voxel,
             max_voxels=pc.voxel.max_voxels(training))
         self._rng = np.random.default_rng(1994)
+        # sparse-conv rulebook caps (host-built index maps; see data/rulebook.py)
+        self.rulebook_caps = rulebook_caps
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -146,7 +149,7 @@ class JRDBActDataset:
             cfg.point_cloud.num_point_features,
             cfg.point_cloud.voxel.max_points_per_voxel)
 
-        return {
+        sample = {
             "images": images, "boxes2d": boxes2d, "boxes3d": boxes3d,
             "person_valid": valid, "person_id": person_id,
             "social_group_id": group_id, "actions": actions,
@@ -155,6 +158,13 @@ class JRDBActDataset:
             "voxel_num_points": nump, "voxel_valid": vvalid,
             "seq_id": np.int32(sid), "frame_id": np.int32(src_fid),
         }
+        if self.rulebook_caps is not None:
+            from .rulebook import build_rulebook
+            nx, ny, nz = cfg.point_cloud.grid_size
+            rb = build_rulebook(coords, int(vvalid.sum()), (nz + 1, ny, nx),
+                                self.rulebook_caps)
+            sample["rulebook"] = rb
+        return sample
 
 
 def collate(samples: List[Dict[str, np.ndarray]]):
@@ -166,6 +176,11 @@ def collate(samples: List[Dict[str, np.ndarray]]):
     def stack(key):
         return jnp.asarray(np.stack([s[key] for s in samples]))
 
+    rulebook = None
+    if "rulebook" in samples[0]:
+        rulebook = {k: jnp.asarray(np.stack([s["rulebook"][k] for s in samples]))
+                    for k in samples[0]["rulebook"]}
+
     return Batch(
         images=stack("images"), boxes2d=stack("boxes2d"),
         boxes3d=stack("boxes3d"), person_valid=stack("person_valid"),
@@ -174,4 +189,5 @@ def collate(samples: List[Dict[str, np.ndarray]]):
         voxels=stack("voxels"), voxel_coords=stack("voxel_coords"),
         voxel_num_points=stack("voxel_num_points"),
         voxel_valid=stack("voxel_valid"),
-        seq_id=stack("seq_id"), frame_id=stack("frame_id"))
+        seq_id=stack("seq_id"), frame_id=stack("frame_id"),
+        rulebook=rulebook)

@@ -40,7 +40,7 @@ class LiDARBackbone(nn.Module):
     def __call__(self, voxels: jnp.ndarray, voxel_coords: jnp.ndarray,
                  voxel_num_points: jnp.ndarray, voxel_valid: jnp.ndarray,
                  rois: jnp.ndarray, roi_valid: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, rulebook: dict | None = None) -> jnp.ndarray:
         """
         Args:
           voxels: (B, M, P, 4) raw per-voxel points (x, y, z, intensity).
@@ -64,7 +64,7 @@ class LiDARBackbone(nn.Module):
 
         ms = VoxelBackbone8x(
             max_voxels_per_stage=self.cfg.max_voxels_per_stage,
-            dtype=self.dtype, name="backbone3d")(st, train)
+            dtype=self.dtype, name="backbone3d")(st, train, rulebook)
 
         # shared FC is only consumed when the self-attention head is off
         # (reference computes-but-discards it under SELF_ATT1; we skip the

@@ -188,7 +188,8 @@ class MGAR(nn.Module):
                                   pc_cfg=self.cfg.data.point_cloud,
                                   dtype=bb_dtype, name="lidar_backbone")(
                 batch.voxels, batch.voxel_coords, batch.voxel_num_points,
-                batch.voxel_valid, batch.boxes3d, batch.person_valid, train)
+                batch.voxel_valid, batch.boxes3d, batch.person_valid, train,
+                rulebook=batch.rulebook)
             lidar = lidar.astype(jnp.float32)
         return GARFusionNet(mcfg, dtype=self.dtype, name="gar_fusion")(
             rgb, lidar, batch.boxes2d, batch.boxes3d, batch.person_valid, train)

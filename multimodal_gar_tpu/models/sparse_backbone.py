@@ -134,7 +134,11 @@ def _downsample_active_set(coords, valid, in_shape, out_shape, kernel_size,
 
 
 class SparseConv3dDown(nn.Module):
-    """Strided sparse conv (spconv.SparseConv3d): new, coarser active set."""
+    """Strided sparse conv (spconv.SparseConv3d): new, coarser active set.
+
+    With a precomputed host rulebook (data/rulebook.py) the active-set
+    derivation and gather map are free; otherwise both are built on-device.
+    """
     out_channels: int
     kernel_size: int = 3
     stride: Any = 2
@@ -143,35 +147,43 @@ class SparseConv3dDown(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, st: SparseTensor) -> SparseTensor:
+    def __call__(self, st: SparseTensor,
+                 precomputed: tuple | None = None) -> SparseTensor:
         k3 = self.kernel_size ** 3
         cin = st.features.shape[-1]
         w = self.param("kernel", nn.initializers.kaiming_normal(),
                        (k3, cin, self.out_channels))
         out_shape = _downsample_shape(st.spatial_shape, self.kernel_size,
                                       self.stride, self.padding)
-        out_coords, out_valid = _downsample_active_set(
-            st.coords, st.valid, st.spatial_shape, out_shape, self.kernel_size,
-            self.stride, self.padding, self.max_out_voxels)
+        if precomputed is not None:
+            out_coords, out_valid, down_idx = precomputed      # (B,Mo,3)(B,Mo)(B,Mo,K3)
+            hit = (down_idx >= 0)[..., None].astype(st.features.dtype)
+            safe = jnp.clip(down_idx, 0)
+            gathered = jax.vmap(lambda f, i: f[i])(st.features, safe) * hit
+        else:
+            out_coords, out_valid = _downsample_active_set(
+                st.coords, st.valid, st.spatial_shape, out_shape,
+                self.kernel_size, self.stride, self.padding,
+                self.max_out_voxels)
 
-        s = jnp.asarray(_tup3(self.stride), jnp.int32)
-        p = jnp.asarray(_tup3(self.padding), jnp.int32)
-        k = jnp.arange(self.kernel_size)
-        kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
-        koffs = jnp.stack([kz.ravel(), ky.ravel(), kx.ravel()], -1).astype(jnp.int32)
+            s = jnp.asarray(_tup3(self.stride), jnp.int32)
+            p = jnp.asarray(_tup3(self.padding), jnp.int32)
+            k = jnp.arange(self.kernel_size)
+            kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
+            koffs = jnp.stack([kz.ravel(), ky.ravel(), kx.ravel()],
+                              -1).astype(jnp.int32)
 
-        def gather_item(in_c, in_v, in_f, oc, ov):
-            table = vox.build_lookup(in_c, in_v, st.spatial_shape)
-            src = oc[:, None, :] * s[None, None, :] - p[None, None, :] \
-                + koffs[None, :, :]                                # (Mo, K3, 3)
-            sv = jnp.broadcast_to(ov[:, None], src.shape[:2])
-            idx = vox.lookup(table, src, sv, st.spatial_shape)     # (Mo, K3)
-            hit = (idx >= 0)[..., None].astype(in_f.dtype)
-            g = in_f[jnp.clip(idx, 0)] * hit                       # (Mo, K3, Cin)
-            return g
+            def gather_item(in_c, in_v, in_f, oc, ov):
+                table = vox.build_lookup(in_c, in_v, st.spatial_shape)
+                src = oc[:, None, :] * s[None, None, :] - p[None, None, :] \
+                    + koffs[None, :, :]                            # (Mo, K3, 3)
+                sv = jnp.broadcast_to(ov[:, None], src.shape[:2])
+                idx = vox.lookup(table, src, sv, st.spatial_shape)  # (Mo, K3)
+                hit = (idx >= 0)[..., None].astype(in_f.dtype)
+                return in_f[jnp.clip(idx, 0)] * hit                # (Mo, K3, Cin)
 
-        gathered = jax.vmap(gather_item)(
-            st.coords, st.valid, st.features, out_coords, out_valid)
+            gathered = jax.vmap(gather_item)(
+                st.coords, st.valid, st.features, out_coords, out_valid)
         out = jnp.einsum("bmkc,kcd->bmd", gathered.astype(self.dtype),
                          w.astype(self.dtype))
         out = out * out_valid[..., None].astype(out.dtype)
@@ -193,7 +205,8 @@ class SparseConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False,
-                 neighbor_idx: jnp.ndarray | None = None) -> SparseTensor:
+                 neighbor_idx: jnp.ndarray | None = None,
+                 precomputed: tuple | None = None) -> SparseTensor:
         if self.conv_type == "subm":
             st = SubMConv3d(self.out_channels, dtype=self.dtype,
                             name="conv")(st, neighbor_idx)
@@ -201,7 +214,7 @@ class SparseConvBlock(nn.Module):
             st = SparseConv3dDown(self.out_channels, stride=self.stride,
                                   padding=self.padding,
                                   max_out_voxels=self.max_out_voxels,
-                                  dtype=self.dtype, name="conv")(st)
+                                  dtype=self.dtype, name="conv")(st, precomputed)
         else:
             raise ValueError(self.conv_type)
         f = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
@@ -226,12 +239,28 @@ class VoxelBackbone8x(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False
+    def __call__(self, st: SparseTensor, train: bool = False,
+                 rulebook: Dict[str, jnp.ndarray] | None = None
                  ) -> Dict[str, SparseTensor]:
         caps = self.max_voxels_per_stage
+        rb = rulebook
+
+        def stage_pre(k, prev_shape):
+            """(out_coords, out_valid, down_idx) for down-stage k from rulebook."""
+            if rb is None:
+                return None
+            count = rb[f"count_{k}"]                      # (B,)
+            mo = rb[f"coords_{k}"].shape[1]
+            ov = jnp.arange(mo)[None, :] < count[:, None]
+            return rb[f"coords_{k}"], ov, rb[f"down_{k}"]
+
+        def nbr(k, x):
+            if rb is not None:
+                return rb[f"nbr_{k}"]
+            return _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
 
         # stage 1: conv_input + conv1 (subm, shared indice_key 'subm1')
-        nbr1 = _neighbor_idx_subm(st.coords, st.valid, st.spatial_shape, 3)
+        nbr1 = nbr(0, st)
         x = SparseConvBlock(16, "subm", dtype=self.dtype,
                             name="conv_input")(st, train, nbr1)
         x1 = SparseConvBlock(16, "subm", dtype=self.dtype,
@@ -240,8 +269,9 @@ class VoxelBackbone8x(nn.Module):
         # stage 2: strided down + 2 subm ('subm2')
         x = SparseConvBlock(32, "spconv", stride=2, padding=1,
                             max_out_voxels=caps[1], dtype=self.dtype,
-                            name="conv2_down")(x1, train)
-        nbr2 = _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+                            name="conv2_down")(x1, train,
+                                               precomputed=stage_pre(1, None))
+        nbr2 = nbr(1, x)
         x = SparseConvBlock(32, "subm", dtype=self.dtype,
                             name="conv2_1")(x, train, nbr2)
         x2 = SparseConvBlock(32, "subm", dtype=self.dtype,
@@ -250,8 +280,9 @@ class VoxelBackbone8x(nn.Module):
         # stage 3
         x = SparseConvBlock(64, "spconv", stride=2, padding=1,
                             max_out_voxels=caps[2], dtype=self.dtype,
-                            name="conv3_down")(x2, train)
-        nbr3 = _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+                            name="conv3_down")(x2, train,
+                                               precomputed=stage_pre(2, None))
+        nbr3 = nbr(2, x)
         x = SparseConvBlock(64, "subm", dtype=self.dtype,
                             name="conv3_1")(x, train, nbr3)
         x3 = SparseConvBlock(64, "subm", dtype=self.dtype,
@@ -260,8 +291,9 @@ class VoxelBackbone8x(nn.Module):
         # stage 4: z-padding 0 (reference spconv_backbone.py:104)
         x = SparseConvBlock(64, "spconv", stride=2, padding=(0, 1, 1),
                             max_out_voxels=caps[3], dtype=self.dtype,
-                            name="conv4_down")(x3, train)
-        nbr4 = _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+                            name="conv4_down")(x3, train,
+                                               precomputed=stage_pre(3, None))
+        nbr4 = nbr(3, x)
         x = SparseConvBlock(64, "subm", dtype=self.dtype,
                             name="conv4_1")(x, train, nbr4)
         x4 = SparseConvBlock(64, "subm", dtype=self.dtype,

@@ -34,8 +34,11 @@ def run_training(cfg: Config, workdir: str,
                  use_mesh: bool = True,
                  max_steps_per_epoch: Optional[int] = None) -> Dict[str, float]:
     """Run all configured stages; returns the final eval metrics."""
-    train_ds = train_ds or JRDBActDataset(cfg.data, "train", training=True)
-    val_ds = val_ds or JRDBActDataset(cfg.data, "test", training=False)
+    caps = cfg.model.lidar.max_voxels_per_stage
+    train_ds = train_ds or JRDBActDataset(cfg.data, "train", training=True,
+                                          rulebook_caps=caps)
+    val_ds = val_ds or JRDBActDataset(cfg.data, "test", training=False,
+                                      rulebook_caps=caps)
 
     train_pipe = DataPipeline(train_ds, cfg.train.batch_size,
                               shuffle=cfg.train.shuffle, seed=cfg.train.seed)

@@ -28,6 +28,9 @@ class Batch:
     voxel_valid: jnp.ndarray           # (B, M) bool
     seq_id: jnp.ndarray                # (B,) int32
     frame_id: jnp.ndarray              # (B,) int32
+    # host-built sparse-conv rulebook (data/rulebook.py): dict of (B, ...)
+    # arrays; None -> index structures are built on device
+    rulebook: Optional[dict] = None
 
 
 @flax.struct.dataclass

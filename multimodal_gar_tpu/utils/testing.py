@@ -101,6 +101,33 @@ def synthetic_batch(cfg: Config, batch_size: int = 1, seed: int = 0,
     vvalid[:, :mv] = True
     coords[~vvalid] = -1
 
+    # dedupe voxel coords per item (the voxelizer guarantees uniqueness)
+    for b in range(batch_size):
+        keys = ((coords[b, :, 0].astype(np.int64) * (ny) + coords[b, :, 1])
+                * nx + coords[b, :, 2])
+        keys[~vvalid[b]] = -1 - np.arange((~vvalid[b]).sum())
+        _, first = np.unique(keys, return_index=True)
+        dup = np.ones(m, bool)
+        dup[first] = False
+        vvalid[b, dup & vvalid[b]] = False
+        coords[b, ~vvalid[b]] = -1
+
+    # compact valid voxels to the front (rulebook builder expects that)
+    for b in range(batch_size):
+        order = np.argsort(~vvalid[b], kind="stable")
+        coords[b] = coords[b][order]
+        pts[b] = pts[b][order]
+        num_points[b] = num_points[b][order]
+        vvalid[b] = vvalid[b][order]
+
+    from ..data.rulebook import build_rulebook
+    spatial_shape = (nz + 1, ny, nx)
+    caps = cfg.model.lidar.max_voxels_per_stage
+    rbs = [build_rulebook(coords[b], int(vvalid[b].sum()), spatial_shape,
+                          caps) for b in range(batch_size)]
+    rulebook = {k: jnp.asarray(np.stack([rb[k] for rb in rbs]))
+                for k in rbs[0]}
+
     return Batch(
         images=jnp.asarray(images), boxes2d=jnp.asarray(boxes2d),
         boxes3d=jnp.asarray(boxes3d), person_valid=jnp.asarray(valid),
@@ -111,4 +138,5 @@ def synthetic_batch(cfg: Config, batch_size: int = 1, seed: int = 0,
         voxel_valid=jnp.asarray(vvalid),
         seq_id=jnp.zeros((batch_size,), jnp.int32),
         frame_id=jnp.zeros((batch_size,), jnp.int32),
+        rulebook=rulebook,
     )
