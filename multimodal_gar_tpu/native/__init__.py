@@ -73,3 +73,41 @@ def native_voxelize(points: np.ndarray, voxel_size, point_cloud_range,
                           max_points_per_voxel, max_voxels,
                           voxels, coords, nump)
     return voxels[:m], coords[:m], nump[:m]
+
+
+def native_rulebook(coords: np.ndarray, n_valid: int, spatial_shape,
+                    caps) -> Optional[dict]:
+    """C++ 4-stage rulebook builder; returns the same dict layout as
+    data/rulebook.build_rulebook, or None if the library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_rulebook_bound"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.mgar_build_rulebook.restype = None
+        lib.mgar_build_rulebook.argtypes = [
+            i32p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p] + [i32p] * 10 + [i32p]
+        lib._rulebook_bound = True
+    caps = np.ascontiguousarray(caps, np.int32)
+    c0 = np.ascontiguousarray(coords[:int(caps[0])], np.int32)
+    nbr = [np.empty((int(caps[k]), 27), np.int32) for k in range(4)]
+    out_coords = [None] + [np.empty((int(caps[k]), 3), np.int32)
+                           for k in range(1, 4)]
+    down = [None] + [np.empty((int(caps[k]), 27), np.int32)
+                     for k in range(1, 4)]
+    counts = np.zeros(4, np.int32)
+    z, y, x = spatial_shape
+    lib.mgar_build_rulebook(
+        c0, int(min(n_valid, caps[0])), z, y, x, caps,
+        nbr[0], out_coords[1], down[1], nbr[1],
+        out_coords[2], down[2], nbr[2],
+        out_coords[3], down[3], nbr[3], counts)
+    out = {"nbr_0": nbr[0]}
+    for k in range(1, 4):
+        out[f"coords_{k}"] = out_coords[k]
+        out[f"count_{k}"] = np.int32(counts[k])
+        out[f"down_{k}"] = down[k]
+        out[f"nbr_{k}"] = nbr[k]
+    return out

@@ -67,3 +67,62 @@ def test_native_faster_than_numpy():
     t_cc = time.perf_counter() - t0
     print(f"numpy {t_np/3*1e3:.1f}ms  native {t_cc/3*1e3:.1f}ms")
     assert t_cc < t_np
+
+
+def test_native_rulebook_matches_numpy(rng):
+    import multimodal_gar_tpu.data.rulebook as rbmod
+    from multimodal_gar_tpu.native import native_rulebook
+
+    shape = (9, 64, 64)
+    m, nv = 400, 300
+    coords = np.stack([rng.integers(0, s, m) for s in shape], -1).astype(np.int32)
+    keys = (coords[:, 0].astype(np.int64) * shape[1] + coords[:, 1]) \
+        * shape[2] + coords[:, 2]
+    _, first = np.unique(keys, return_index=True)
+    coords = coords[np.sort(first)][:nv]
+    nv = len(coords)
+    coords = np.concatenate([coords, np.full((m - nv, 3), -1, np.int32)])
+    caps = (m, m, m // 2, m // 4)
+
+    native = native_rulebook(coords, nv, shape, caps)
+    assert native is not None
+    # numpy reference: call the pure-numpy internals directly (bypassing
+    # build_rulebook's native dispatch)
+    ref = {}
+    cur_coords, cur_valid, cur_shape = coords[:caps[0]], nv, shape
+    for k in range(4):
+        cap = caps[k]
+        if k > 0:
+            new_coords, new_valid, down, new_shape = rbmod._downsample(
+                cur_coords, cur_valid, cur_shape, rbmod.STAGE_STRIDES[k],
+                rbmod.STAGE_PADDINGS[k], cap)
+            ref[f"down_{k}"] = down
+            cur_coords, cur_valid, cur_shape = new_coords, new_valid, new_shape
+            ref[f"coords_{k}"] = cur_coords
+            ref[f"count_{k}"] = np.int32(cur_valid)
+        ref[f"nbr_{k}"] = rbmod._subm_neighbors(cur_coords, cur_valid,
+                                                cur_shape, cap)
+
+    for key in ref:
+        np.testing.assert_array_equal(native[key], ref[key], err_msg=key)
+
+
+def test_native_rulebook_speed(rng):
+    import time
+    from multimodal_gar_tpu.native import native_rulebook
+    shape = (41, 2000, 2000)
+    m = 16000
+    coords = np.stack([rng.integers(0, s, m) for s in shape], -1).astype(np.int32)
+    keys = (coords[:, 0].astype(np.int64) * shape[1] + coords[:, 1]) \
+        * shape[2] + coords[:, 2]
+    _, first = np.unique(keys, return_index=True)
+    coords = coords[np.sort(first)]
+    nv = len(coords)
+    coords = np.concatenate([coords, np.full((m - nv, 3), -1, np.int32)])
+    caps = (16000, 16000, 8000, 4000)
+    native_rulebook(coords, nv, shape, caps)  # warm
+    t0 = time.perf_counter()
+    native_rulebook(coords, nv, shape, caps)
+    dt = time.perf_counter() - t0
+    print(f"native rulebook @16k voxels: {dt*1e3:.1f} ms")
+    assert dt < 0.5
