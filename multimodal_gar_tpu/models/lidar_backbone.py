@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..config import LiDARBackboneConfig, PointCloudConfig
 from .nonlocal_block import NLBlockND
 from .roi_grid_pool import ROIGridPool
+from .spa_temp import SpaTempSelfAtt
 from .sparse_backbone import SparseTensor, VoxelBackbone8x
 
 
@@ -74,17 +75,33 @@ class LiDARBackbone(nn.Module):
             ms, rois, roi_valid, train,
             compute_shared_fc=not self.cfg.self_att_use)
 
-        if not self.cfg.self_att_use:
-            return shared
-
         b, n, g3, c = pooled.shape
         g = self.cfg.grid_pool_size
-        # (B*N, 6, 6, 6, C) channels-last for the 3D non-local block
-        # (reference reshapes to (NP, 96, 6, 6, 6), gat_model.py:936-947)
-        x = pooled.reshape(b * n, g, g, g, c)
-        x = NLBlockND(in_channels=c, inter_channels=max(c // 8, 1), mode="dot",
-                      dtype=self.dtype, name="self_att")(x, train)
-        x = x.reshape(b, n, g3 * c)
+
+        if self.cfg.two_stage_att:
+            # SpaTemp 'flat' path (reference gat_model.py:887-929): avg-pool z,
+            # 2D NL within each person's 6x6 grid, flatten, 1D NL across people
+            x = pooled.reshape(b * n, g, g, g, c)
+            x = jnp.mean(x, axis=3)                              # pool z -> (BN,6,6,C)
+            x = SpaTempSelfAtt(c, max(c // 8, 1), "dot", pool="flat",
+                               dtype=self.dtype, name="self_att")(x, train)
+            x = x.reshape(b, n, -1)
+        elif not self.cfg.self_att_use:
+            return shared
+        elif self.cfg.self_att_inter_person:
+            # attention across people too (reference gat_model.py:949-969):
+            # z-avg-pool to (N, 6, 6, C), 3D NL with persons as the 3rd axis
+            x = pooled.reshape(b, n, g, g, g, c).mean(axis=4)    # (B,N,6,6,C)
+            x = NLBlockND(in_channels=c, inter_channels=max(c // 8, 1),
+                          mode="dot", dtype=self.dtype, name="self_att")(x, train)
+            x = x.reshape(b, n, -1)                              # (B, N, 6*6*C)
+        else:
+            # per-person 3D NL over the 6x6x6 grid (the active config,
+            # gat_model.py:934-947)
+            x = pooled.reshape(b * n, g, g, g, c)
+            x = NLBlockND(in_channels=c, inter_channels=max(c // 8, 1),
+                          mode="dot", dtype=self.dtype, name="self_att")(x, train)
+            x = x.reshape(b, n, g3 * c)
         x = nn.Dense(self.cfg.embedding_dim,
                      kernel_init=nn.initializers.kaiming_normal(),
                      bias_init=nn.initializers.zeros,

@@ -181,7 +181,8 @@ class MGAR(nn.Module):
         rgb = lidar = None
         if modality in ("RGB", "Multi"):
             rgb = RGBBackbone(mcfg.rgb, dtype=bb_dtype, name="rgb_backbone")(
-                batch.images.astype(bb_dtype), batch.boxes2d, train)
+                batch.images.astype(bb_dtype), batch.boxes2d, train,
+                valid=batch.person_valid)
             rgb = rgb.astype(jnp.float32)
         if modality in ("LiDAR", "Multi"):
             lidar = LiDARBackbone(mcfg.lidar,
