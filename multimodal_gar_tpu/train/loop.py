@@ -32,8 +32,14 @@ def run_training(cfg: Config, workdir: str,
                  train_ds: Optional[JRDBActDataset] = None,
                  val_ds: Optional[JRDBActDataset] = None,
                  use_mesh: bool = True,
-                 max_steps_per_epoch: Optional[int] = None) -> Dict[str, float]:
-    """Run all configured stages; returns the final eval metrics."""
+                 max_steps_per_epoch: Optional[int] = None,
+                 resume: bool = True) -> Dict[str, float]:
+    """Run all configured stages; returns the final eval metrics.
+
+    ``resume=True`` restores the latest orbax checkpoint in the workdir (if
+    any) into the first trained stage — preemption-safe training (SURVEY.md
+    §5.3/5.4; the reference's resume path was commented out, train_func.py:517).
+    """
     caps = cfg.model.lidar.max_voxels_per_stage
     train_ds = train_ds or JRDBActDataset(cfg.data, "train", training=True,
                                           rulebook_caps=caps)
@@ -59,23 +65,45 @@ def run_training(cfg: Config, workdir: str,
 
     metrics: Dict[str, float] = {}
     global_step = 0
+    restored = False
     for stage_idx, stage in enumerate(cfg.train.stages):
         if stage.epochs <= 0:
             continue
         state, tx = create_train_state(cfg, model, init_batch, rng, stage,
                                        steps_per_epoch)
+        if resume and not restored and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            global_step = int(state.step)
+            print(f"resumed from checkpoint at step {global_step}", flush=True)
+            restored = True
         if mesh is not None:
             state = shard_train_state(state, mesh)
-        train_step = jax.jit(make_train_step(model, tx, stage.loss))
+        needs_eig = stage.loss == "L_g"
+        train_step = jax.jit(make_train_step(model, tx, stage.loss,
+                                             needs_eig=needs_eig))
         eval_step = jax.jit(make_eval_step(model))
 
-        for epoch in range(stage.epochs):
+        start_epoch = 0
+        if restored and stage_idx == 0:
+            start_epoch = min(global_step // max(steps_per_epoch, 1),
+                              stage.epochs)
+        for epoch in range(start_epoch, stage.epochs):
             for i, batch in enumerate(train_pipe.epoch(epoch)):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
-                state, step_metrics = train_step(state, batch, rng)
+                if needs_eig:
+                    import numpy as np
+
+                    from .losses import prepare_eig_inputs
+                    e_hat, e_count = prepare_eig_inputs(
+                        np.asarray(batch.social_group_id),
+                        np.asarray(batch.person_valid))
+                    state, step_metrics = train_step(
+                        state, batch, rng, e_hat=e_hat, e_count=e_count)
+                else:
+                    state, step_metrics = train_step(state, batch, rng)
                 global_step += 1
                 if global_step % cfg.train.log_every_steps == 0:
                     writer.write(global_step,

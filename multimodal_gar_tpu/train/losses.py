@@ -106,6 +106,33 @@ def zero_eigvecs_host(a_hat: np.ndarray, n_valid: int, max_vecs: int
     return out, k
 
 
+def prepare_eig_inputs(social_group_id: np.ndarray, valid: np.ndarray,
+                       max_vecs: int = 16):
+    """HOST: batched zero-eigvec prep for the spectral loss.
+
+    Called by the train loop (or pipeline) when the configured loss includes
+    L_eig; the eigendecomposition is of GT label data only (SURVEY.md §7.2.4).
+
+    Returns (e_hat (B, max_vecs, N) float32, e_count (B,) int32).
+    """
+    from ..ops import grouping as _g
+    import jax
+
+    b, n = social_group_id.shape
+    e_hat = np.zeros((b, max_vecs, n), np.float32)
+    e_count = np.zeros((b,), np.int32)
+    for i in range(b):
+        nv = int(valid[i].sum())
+        if nv == 0:
+            continue
+        sid = social_group_id[i][:nv]
+        a = (sid[:, None] == sid[None, :]) | np.eye(nv, dtype=bool)
+        full = np.zeros((n, n), np.float32)
+        full[:nv, :nv] = a
+        e_hat[i], e_count[i] = zero_eigvecs_host(full, nv, max_vecs)
+    return e_hat, e_count
+
+
 def eig_loss(a_theta: jnp.ndarray, e_hat: jnp.ndarray, e_count: jnp.ndarray,
              valid: jnp.ndarray, alpha: float = 1.0, beta: float = 1.0
              ) -> jnp.ndarray:

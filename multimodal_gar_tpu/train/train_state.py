@@ -65,10 +65,17 @@ def create_train_state(cfg: Config, model: MGAR, batch: Batch,
 
 
 def make_train_step(model: MGAR, tx: optax.GradientTransformation,
-                    loss_name: str):
-    """One jit-able training step: forward, all losses, grad, update."""
+                    loss_name: str, needs_eig: bool = False):
+    """One jit-able training step: forward, all losses, grad, update.
 
-    def step_fn(state: TrainState, batch: Batch, dropout_rng: jax.Array
+    Robustness guard (TPU-native analogue of the reference's NaN skip-lists,
+    train_func.py:155-160): non-finite gradients are zeroed rather than
+    applied, and the event is surfaced in metrics["nonfinite_grads"].
+    """
+
+    def step_fn(state: TrainState, batch: Batch, dropout_rng: jax.Array,
+                e_hat: jnp.ndarray | None = None,
+                e_count: jnp.ndarray | None = None
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng = jax.random.fold_in(dropout_rng, state.step)
 
@@ -77,18 +84,27 @@ def make_train_step(model: MGAR, tx: optax.GradientTransformation,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
-            losses = compute_losses(out, batch)
+            losses = compute_losses(out, batch,
+                                    e_hat=e_hat if needs_eig else None,
+                                    e_count=e_count if needs_eig else None)
             loss = total_loss(losses, loss_name)
             return loss, (losses, updates["batch_stats"])
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt_state)
         metrics = dict(losses)
         metrics["loss"] = loss
+        metrics["nonfinite_grads"] = 1.0 - finite.astype(jnp.float32)
         return new_state, metrics
 
     return step_fn

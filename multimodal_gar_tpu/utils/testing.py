@@ -17,7 +17,7 @@ from ..types import Batch
 
 
 def tiny_config(num_people: int = 8, num_frames: int = 3,
-                image_hw=(64, 96), max_voxels: int = 512) -> Config:
+                image_hw=(48, 64), max_voxels: int = 256) -> Config:
     """A miniature config that exercises every code path cheaply."""
     cfg = Config()
     pc = PointCloudConfig(
@@ -32,14 +32,13 @@ def tiny_config(num_people: int = 8, num_frames: int = 3,
         num_boxes=num_people, point_cloud=pc)
     lidar = dataclasses.replace(
         cfg.model.lidar,
-        max_voxels_per_stage=(max_voxels, max_voxels, max_voxels // 2,
-                              max_voxels // 4),
+        max_voxels_per_stage=(max_voxels, max_voxels // 2, max_voxels // 4,
+                              max_voxels // 8),
         pool_layers=(
             PoolLayerConfig("x_conv2", (8, 8), (2, 2, 2), 1.0, 4),
-            PoolLayerConfig("x_conv3", (8, 8), (2, 2, 2), 2.0, 4),
             PoolLayerConfig("x_conv4", (8, 8), (2, 2, 2), 4.0, 4),
         ),
-        grid_pool_size=3,
+        grid_pool_size=2,
     )
     model = dataclasses.replace(cfg.model, lidar=lidar)
     return dataclasses.replace(cfg, data=data, model=model)
