@@ -141,3 +141,24 @@ def test_roipoint_pool3d():
     assert pooled.shape == (2, 4, 4)
     assert not bool(empty[0]) and bool(empty[1])
     assert np.allclose(np.asarray(pooled[1]), 0.0)
+
+
+def test_vector_pool_cells_and_means():
+    from multimodal_gar_tpu.ops.vector_pool import vector_pool
+    support = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, -0.5],
+                           [0.6, 0.6, 0.6], [5.0, 5.0, 5.0]], jnp.float32)
+    feats = jnp.asarray([[1.0], [2.0], [3.0], [9.0]])
+    valid = jnp.asarray([True, True, True, True])
+    query = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    pooled, counts = vector_pool(support, feats, valid, query,
+                                 radius=1.0, grid_size=2)
+    assert pooled.shape == (1, 8, 4)
+    c = np.asarray(counts)[0]
+    assert c.sum() == 3                      # far point excluded
+    # (+,+,+) octant holds points 0 and 2 -> mean feature 2.0
+    octant = 1 * 4 + 1 * 2 + 1
+    assert c[octant] == 2
+    np.testing.assert_allclose(np.asarray(pooled)[0, octant, 3], 2.0)
+    # (-,-,-) octant holds point 1
+    assert c[0] == 1
+    np.testing.assert_allclose(np.asarray(pooled)[0, 0, 3], 2.0)

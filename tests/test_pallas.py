@@ -1,0 +1,25 @@
+"""Pallas kernel correctness (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_gar_tpu.ops.pallas import subm_conv_pallas, subm_conv_xla
+
+
+def test_subm_conv_pallas_matches_xla(rng):
+    m, k, c, d = 128, 27, 16, 16
+    feats = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+    nbr = jnp.asarray(rng.integers(-1, m, (m, k)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(k, c, d)).astype(np.float32) * 0.1)
+    out_p = subm_conv_pallas(feats, nbr, w, block_m=64)
+    out_x = subm_conv_xla(feats, nbr, w)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-2, atol=2e-2)  # bf16 internal matmuls
+
+
+def test_subm_conv_pallas_absent_neighbors(rng):
+    m, k, c, d = 64, 27, 8, 8
+    feats = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+    nbr = jnp.full((m, k), -1, jnp.int32)             # all absent -> zeros
+    w = jnp.asarray(rng.normal(size=(k, c, d)).astype(np.float32))
+    out = subm_conv_pallas(feats, nbr, w, block_m=64)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
