@@ -114,3 +114,14 @@ def test_vgg_and_inception_backbones(rng):
     v = jax.jit(partial(m.init, train=False))(jax.random.PRNGKey(0), xi)
     o1, o2 = jax.jit(partial(m.apply, train=False))(v, xi)
     assert o1.shape[-1] == 288 and o2.shape[-1] == 768
+
+
+def test_registry_builds_models():
+    from multimodal_gar_tpu.models import available_models, build_model
+    cfg = tiny_config()
+    assert "MGAR" in available_models()
+    m = build_model(cfg, "MGAR")
+    assert type(m).__name__ == "MGAR"
+    assert type(build_model(cfg, "TranSG")).__name__ == "TranSG"
+    with pytest.raises(KeyError):
+        build_model(cfg, "nope")
