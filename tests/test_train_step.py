@@ -86,3 +86,26 @@ def test_eval_step(setup):
     ev = jax.jit(make_eval_step(model))
     out = ev(state, batch)
     assert out.a_theta.shape[0] == 2
+
+
+def test_nonfinite_grad_guard(setup):
+    """A poisoned batch (NaN images) must not corrupt the parameters."""
+    import jax.numpy as jnp
+    cfg, model, state, tx, batch = setup
+    step = jax.jit(make_train_step(model, tx, "L_total"))
+    bad = batch.replace(images=batch.images * jnp.nan)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    s1, m1 = step(state, bad, jax.random.PRNGKey(0))
+    s2, m2 = step(s1, bad, jax.random.PRNGKey(0))   # complete the accum cycle
+    assert float(m1["nonfinite_grads"]) == 1.0
+    p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
+    assert np.isfinite(p2).all()
+    np.testing.assert_array_equal(p0, p2)           # zeroed grads -> no change
+
+
+def test_multihost_utils_single_process():
+    from multimodal_gar_tpu.parallel.multihost import (merge_eval_records,
+                                                       reduce_metrics_mean)
+    recs = [("a", 1), ("b", 2)]
+    assert merge_eval_records(recs) == recs
+    assert reduce_metrics_mean({"x": 1.0}) == {"x": 1.0}
