@@ -1,1 +1,2 @@
-from . import geometry, grouping, masked, roi_align, voxel
+from . import (boxes3d, geometry, grouping, masked, neighbor, roi_align,
+               sampling, vector_pool, voxel)

@@ -249,3 +249,34 @@ def roipoint_pool3d(points: jnp.ndarray, features: jnp.ndarray,
         return jnp.where(empty, 0.0, pooled * ok[:, None]), empty
 
     return jax.vmap(per_box)(inside.T)
+
+
+def enlarge_box3d(boxes: jnp.ndarray, extra_width=(0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """Grow boxes by extra extents (pcdet box_utils.enlarge_box3d:187)."""
+    extra = jnp.asarray(extra_width, boxes.dtype)
+    return boxes.at[..., 3:6].add(2.0 * extra)
+
+
+def boxes3d_nearest_bev_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Axis-aligned BEV IoU with the nearest 0/90-degree orientation
+    (pcdet box_utils.boxes3d_nearest_bev_iou:328): yaw snapped to the closer
+    right angle, then plain AABB IoU."""
+    def to_aabb(b):
+        yaw = jnp.abs(jnp.mod(b[:, 6], jnp.pi))
+        swap = (yaw > jnp.pi / 4) & (yaw < 3 * jnp.pi / 4)
+        dx = jnp.where(swap, b[:, 4], b[:, 3])
+        dy = jnp.where(swap, b[:, 3], b[:, 4])
+        return jnp.stack([b[:, 0] - dx / 2, b[:, 1] - dy / 2,
+                          b[:, 0] + dx / 2, b[:, 1] + dy / 2], -1)
+
+    a = to_aabb(boxes_a)
+    b = to_aabb(boxes_b)
+    ix1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    iy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)

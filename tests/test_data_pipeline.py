@@ -131,3 +131,28 @@ def test_batch_feeds_model(mini_jrdb):
     v = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), batch)
     out = jax.jit(partial(model.apply, train=False))(v, batch)
     assert np.isfinite(np.asarray(out.a_theta)).all()
+
+
+def test_processor_chain():
+    from multimodal_gar_tpu.data.processor import (ProcessorChain,
+                                                   double_flip,
+                                                   mask_boxes_outside_range)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-200, 200, (500, 4)).astype(np.float32)
+    chain = ProcessorChain(
+        [{"NAME": "mask_points_and_boxes_outside_range"},
+         {"NAME": "shuffle_points", "SHUFFLE_ENABLED": {"train": True}},
+         {"NAME": "sample_points", "NUM_POINTS": 128}],
+        point_cloud_range=(-100, -100, -25, 100, 100, 25), training=True)
+    out = chain(pts)
+    assert out.shape == (128, 4)
+    assert (np.abs(out[:, 0]) <= 100).all() and (np.abs(out[:, 1]) <= 100).all()
+
+    yf, xf, xyf = double_flip(pts)
+    np.testing.assert_allclose(yf[:, 1], -pts[:, 1])
+    np.testing.assert_allclose(xyf[:, 0], -pts[:, 0])
+
+    boxes = np.array([[0, 0, 0, 2, 2, 2, 0.0], [500, 0, 0, 2, 2, 2, 0.0]],
+                     np.float32)
+    keep = mask_boxes_outside_range(boxes, (-100, -100, -25, 100, 100, 25))
+    np.testing.assert_array_equal(keep, [True, False])

@@ -162,3 +162,16 @@ def test_vector_pool_cells_and_means():
     # (-,-,-) octant holds point 1
     assert c[0] == 1
     np.testing.assert_allclose(np.asarray(pooled)[0, 0, 3], 2.0)
+
+
+def test_enlarge_and_nearest_bev_iou():
+    from multimodal_gar_tpu.ops.boxes3d import (boxes3d_nearest_bev_iou,
+                                                enlarge_box3d)
+    b = jnp.asarray([[0, 0, 0, 2, 4, 2, 0.0]])
+    e = np.asarray(enlarge_box3d(b, (0.5, 0.5, 0.5)))
+    np.testing.assert_allclose(e[0, 3:6], [3, 5, 3])
+    # 90deg-rotated box == swapped extents under nearest-bev
+    a = jnp.asarray([[0, 0, 0, 2, 4, 2, 0.0]])
+    c = jnp.asarray([[0, 0, 0, 4, 2, 2, np.pi / 2]])
+    iou = float(boxes3d_nearest_bev_iou(a, c)[0, 0])
+    assert abs(iou - 1.0) < 1e-5
