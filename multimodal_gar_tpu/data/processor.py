@@ -93,3 +93,19 @@ class ProcessorChain:
             else:
                 raise KeyError(f"unknown processor {name!r}")
         return points
+
+
+def encode_point_features(points: np.ndarray,
+                          used_feature_list: Sequence[str] = ("x", "y", "z", "intensity"),
+                          src_feature_list: Sequence[str] = ("x", "y", "z", "intensity")
+                          ) -> np.ndarray:
+    """absolute_coordinates_encoding (pcdet point_feature_encoder.py:43-57):
+    keep xyz, then append each used non-xyz feature by its source column."""
+    assert tuple(src_feature_list[:3]) == ("x", "y", "z")
+    cols = [points[:, 0:3]]
+    for name in used_feature_list:
+        if name in ("x", "y", "z"):
+            continue
+        idx = list(src_feature_list).index(name)
+        cols.append(points[:, idx:idx + 1])
+    return np.concatenate(cols, axis=1)
