@@ -19,9 +19,10 @@ import json
 import time
 from functools import partial
 
-# Pinned single-core CPU baseline of this chained benchmark (re-measure with
-# `python bench.py --cpu-baseline`).
-CPU_BASELINE_CLIPS_PER_SEC = 0.0577
+# Pinned single-core CPU baseline of this chained benchmark at the full-res
+# flagship config: 0.0073 clips/s = 137 s/clip (re-measure with
+# `python bench.py --cpu-baseline`; takes ~1 h on the 1-core host).
+CPU_BASELINE_CLIPS_PER_SEC = 0.0073
 
 
 def build():

@@ -145,7 +145,13 @@ class Unit3D(nn.Module):
 
 def max_pool_same(x: jnp.ndarray, window: Tuple[int, int, int],
                   strides: Tuple[int, int, int]) -> jnp.ndarray:
-    """3D max pool with TF-SAME padding over (T, H, W) of an NDHWC tensor."""
+    """3D max pool with TF-SAME padding over (T, H, W) of an NDHWC tensor.
+
+    Kept as ONE fused reduce_window: a per-axis separable decomposition was
+    tried (exact, and 6x faster in isolation) but regressed the full model
+    10.5 -> 8.2 clips/s — XLA fuses the single window into neighbors while
+    the 3-pass version materializes intermediates in HBM.
+    """
     return nn.max_pool(x, window_shape=window, strides=strides, padding="SAME")
 
 
