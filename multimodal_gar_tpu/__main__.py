@@ -48,7 +48,8 @@ def main(argv=None):
         from .train.checkpoint import CheckpointManager
         from .train.train_state import create_train_state, make_eval_step
 
-        val_ds = JRDBActDataset(cfg.data, "test", training=False)
+        val_ds = JRDBActDataset(cfg.data, "test", training=False,
+                                rulebook_caps=cfg.model.lidar.max_voxels_per_stage)
         pipe = DataPipeline(val_ds, cfg.train.batch_size, shuffle=False,
                             drop_last=False)
         model = MGAR(cfg)

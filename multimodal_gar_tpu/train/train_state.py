@@ -49,7 +49,7 @@ def make_optimizer(stage: StageConfig, steps_per_epoch: int,
 def create_train_state(cfg: Config, model: MGAR, batch: Batch,
                        rng: jax.Array, stage: StageConfig,
                        steps_per_epoch: int) -> Tuple[TrainState, optax.GradientTransformation]:
-    variables = model.init(rng, batch, train=False)
+    variables = jax.jit(functools.partial(model.init, train=False))(rng, batch)
     ckpt_path = getattr(cfg.model.rgb, "i3d_checkpoint", None)
     if ckpt_path:
         from ..models.i3d_convert import load_i3d_checkpoint
