@@ -156,3 +156,38 @@ def test_processor_chain():
                      np.float32)
     keep = mask_boxes_outside_range(boxes, (-100, -100, -25, 100, 100, 25))
     np.testing.assert_array_equal(keep, [True, False])
+
+
+def test_world_augmentor_consistency():
+    """Augmented points must stay consistent with augmented boxes: a point at
+    a box center must remain at the (augmented) box center."""
+    from multimodal_gar_tpu.data.augmentor import WorldAugmentor
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((3, 7), np.float32)
+    boxes[:, :3] = rng.uniform(-5, 5, (3, 3))
+    boxes[:, 3:6] = 1.0
+    points = boxes[:, :3].copy()
+    aug = WorldAugmentor([
+        {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x", "y"]},
+        {"NAME": "random_world_rotation", "WORLD_ROT_ANGLE": [-0.5, 0.5]},
+        {"NAME": "random_world_scaling", "WORLD_SCALE_RANGE": [0.9, 1.1]},
+    ], seed=3)
+    p2, b2 = aug(points, boxes)
+    np.testing.assert_allclose(p2, b2[:, :3], atol=1e-5)
+    # scaling preserved box aspect, rotation kept extents positive
+    assert (b2[:, 3:6] > 0).all()
+
+
+def test_world_flip_yaw_semantics():
+    from multimodal_gar_tpu.data.augmentor import random_world_flip
+
+    class AlwaysFlip:
+        def integers(self, a, b):
+            return 0 if False else 1  # always flip
+    boxes = np.asarray([[1.0, 2.0, 0, 1, 1, 1, 0.3]], np.float32)
+    # a point ahead of the box along its heading must stay ahead after flip
+    head = boxes[0, :3] + [np.cos(0.3), np.sin(0.3), 0]
+    pts = np.vstack([boxes[0, :3], head]).astype(np.float32)
+    p2, b2 = random_world_flip(pts, boxes, ["x"], AlwaysFlip())
+    expect_head = b2[0, :3] + [np.cos(b2[0, 6]), np.sin(b2[0, 6]), 0]
+    np.testing.assert_allclose(p2[1], expect_head, atol=1e-6)
