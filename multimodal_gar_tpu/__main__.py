@@ -37,8 +37,6 @@ def main(argv=None):
                                max_steps_per_epoch=args.max_steps_per_epoch)
         print("final:", metrics)
     elif args.cmd == "eval":
-        from functools import partial
-
         import jax
 
         from .data.jrdb import JRDBActDataset

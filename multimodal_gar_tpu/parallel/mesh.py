@@ -71,7 +71,6 @@ def fsdp_param_sharding(params: Any, mesh: Mesh) -> Any:
 def shard_train_state(state: Any, mesh: Mesh) -> Any:
     """Place a TrainState on the mesh: params/opt per the FSDP rule, rest
     replicated."""
-    import flax.struct  # noqa: F401
     param_sh = fsdp_param_sharding(state.params, mesh)
     opt_sh = jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh, P()), state.opt_state)

@@ -79,3 +79,38 @@ def test_accumulator_wrong_grouping():
                   scores, scores, pred_groups)
     m = acc.evaluate_grouping()
     assert m["G2_AP"] == 0.0                 # no predicted pair matches
+
+
+def test_group_decode_matches_reference_loop(rng):
+    """decode_group_ids == the reference's threshold + first-nonzero-column
+    loop (gat_model.py:1580-1592), checked against a literal python loop."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_gar_tpu.ops.grouping import decode_group_ids
+    n = 12
+    a = rng.uniform(0, 1, (n, n)).astype(np.float32)
+    a = (a + a.T) / 2
+    valid = np.ones(n, bool)
+    valid[9:] = False
+    got = np.asarray(decode_group_ids(jnp.asarray(a), jnp.asarray(valid)))
+
+    # literal reference semantics on the valid block
+    tmp = a[:9, :9].copy()
+    np.fill_diagonal(tmp, 1.0)
+    pred = (tmp >= 0.5).astype(int)
+    expect = [int(np.nonzero(row)[0][0]) for row in pred]
+    np.testing.assert_array_equal(got[:9], expect)
+
+
+def test_result_file_roundtrip(tmp_path):
+    from multimodal_gar_tpu.eval.jrdb_eval import (read_results,
+                                                   write_action_results)
+    recs = [("0001:000007", np.array([1.0, 2.0, 3.0, 4.0]), 5, 0.75),
+            ("0001:000008", np.array([9.5, 2.25, 30.0, 40.0]), 11, 0.5)]
+    path = str(tmp_path / "action.txt")
+    write_action_results(path, recs)
+    back = read_results(path)
+    assert len(back) == 2
+    key, box, label, score = back[0]
+    assert key == "0001:000007" and label == 5 and abs(score - 0.75) < 1e-9
+    np.testing.assert_allclose(box, recs[0][1], atol=0.01)
