@@ -14,6 +14,7 @@ from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..config import Config
 from ..data.jrdb import JRDBActDataset
@@ -25,7 +26,7 @@ from ..types import Batch
 from ..utils.metrics import MetricWriter, Timer
 from .checkpoint import CheckpointManager
 from .train_state import (TrainState, create_train_state, make_eval_step,
-                          make_train_step)
+                          make_optimizer, make_train_step)
 
 
 def run_training(cfg: Config, workdir: str,
@@ -33,7 +34,10 @@ def run_training(cfg: Config, workdir: str,
                  val_ds: Optional[JRDBActDataset] = None,
                  use_mesh: bool = True,
                  max_steps_per_epoch: Optional[int] = None,
-                 resume: bool = True) -> Dict[str, float]:
+                 resume: bool = True,
+                 on_stage_start: Optional[Callable[[int, TrainState], None]] = None,
+                 on_stage_end: Optional[Callable[[int, TrainState], None]] = None
+                 ) -> Dict[str, float]:
     """Run all configured stages; returns the final eval metrics.
 
     ``resume=True`` restores the latest orbax checkpoint in the workdir (if
@@ -66,11 +70,21 @@ def run_training(cfg: Config, workdir: str,
     metrics: Dict[str, float] = {}
     global_step = 0
     restored = False
-    for stage_idx, stage in enumerate(cfg.train.stages):
+    params = None            # carried across stages (train_func.py:550-556:
+    batch_stats = None       # the reference keeps the trained model and only
+    for stage_idx, stage in enumerate(cfg.train.stages):  # rebuilds Adam)
         if stage.epochs <= 0:
             continue
-        state, tx = create_train_state(cfg, model, init_batch, rng, stage,
-                                       steps_per_epoch)
+        if params is None:
+            state, tx = create_train_state(cfg, model, init_batch, rng, stage,
+                                           steps_per_epoch)
+        else:
+            tx = make_optimizer(stage, steps_per_epoch,
+                                cfg.train.grad_accum_steps,
+                                cfg.train.lr_decay_gamma)
+            state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                               batch_stats=batch_stats,
+                               opt_state=tx.init(params))
         if resume and not restored and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
             global_step = int(state.step)
@@ -78,6 +92,8 @@ def run_training(cfg: Config, workdir: str,
             restored = True
         if mesh is not None:
             state = shard_train_state(state, mesh)
+        if on_stage_start is not None:
+            on_stage_start(stage_idx, state)
         needs_eig = stage.loss == "L_g"
         train_step = jax.jit(make_train_step(model, tx, stage.loss,
                                              needs_eig=needs_eig))
@@ -125,6 +141,10 @@ def run_training(cfg: Config, workdir: str,
                 ckpt.save(global_step, state, metrics)
             print(f"stage {stage_idx} epoch {epoch} done "
                   f"({timer.epochtime():.1f}s)", flush=True)
+
+        params, batch_stats = state.params, state.batch_stats
+        if on_stage_end is not None:
+            on_stage_end(stage_idx, state)
 
     writer.close()
     ckpt.close()

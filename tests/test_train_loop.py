@@ -42,6 +42,45 @@ def tiny_training_cfg(tmp_path_factory):
     return cfg
 
 
+def test_cross_stage_param_persistence(tiny_training_cfg, tmp_path):
+    """Stage 2 must start from stage 1's trained params with a FRESH
+    optimizer (reference train_func.py:550-556 carries the model and only
+    rebuilds Adam). Round-1 bug: create_train_state per stage re-initialised
+    params from the rng."""
+    import jax
+
+    cfg = dataclasses.replace(tiny_training_cfg, train=dataclasses.replace(
+        tiny_training_cfg.train,
+        stages=(StageConfig(epochs=1, learning_rate=1e-3, loss="L_total"),
+                StageConfig(epochs=1, learning_rate=3e-4, loss="L_total"))))
+    snaps = {}
+    run_training(cfg, str(tmp_path / "run2"), use_mesh=False,
+                 max_steps_per_epoch=2, resume=False,
+                 on_stage_start=lambda i, s: snaps.setdefault(("start", i), s),
+                 on_stage_end=lambda i, s: snaps.setdefault(("end", i), s))
+    end1, start2 = snaps[("end", 0)], snaps[("start", 1)]
+    # params carried over exactly
+    for a, b in zip(jax.tree_util.tree_leaves(end1.params),
+                    jax.tree_util.tree_leaves(start2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... and they are genuinely trained (differ from the fresh init)
+    start1 = snaps[("start", 0)]
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(start1.params),
+                        jax.tree_util.tree_leaves(start2.params)))
+    assert changed
+    # optimizer state is fresh: Adam moments all-zero at stage-2 start
+    mu_leaves = [l for l in jax.tree_util.tree_leaves(start2.opt_state)
+                 if hasattr(l, "shape") and l.ndim > 0]
+    assert mu_leaves and all(np.allclose(np.asarray(l), 0.0)
+                             for l in mu_leaves)
+    # ... whereas stage-1's end optimizer had accumulated moments
+    end_mu = [l for l in jax.tree_util.tree_leaves(end1.opt_state)
+              if hasattr(l, "shape") and l.ndim > 0]
+    assert any(not np.allclose(np.asarray(l), 0.0) for l in end_mu)
+
+
 def test_run_training_end_to_end(tiny_training_cfg, tmp_path):
     workdir = str(tmp_path / "run")
     metrics = run_training(tiny_training_cfg, workdir, use_mesh=False,
