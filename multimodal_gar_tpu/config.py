@@ -129,6 +129,9 @@ class FusionConfig:
     hidden_dim: int = 512                # SG-head input dim
     sim: str = "cosine"                  # cosine | Graph | Graph2 | Graph3 | Graph4
     num_fusion_layers: int = 2
+    # Social_Layer / Social_Encoder (gat_model.py:1144-1147): transform the
+    # fused features before the cosine similarity. none | mlp | encoder
+    social_layer: str = "none"
 
 
 @dataclass

@@ -7,6 +7,8 @@ Capability parity with the fusion family in reference model/gat_model.py:
   - FusionAttention (:77) — no distance bias ("Attention_normal").
   - FusionAttention2/3 (:159, :255) — additive exp(-De^2 / 2 sigma^2) bias.
   - FusionAttention_gaussian (:341) — additive Gaussian-pdf bias.
+  - FusionAttention_pe (:777-866) — bbox-center positional concat into Q/K.
+  - Social_Layer / Social_Encoder (:1144-1147) — similarity-input transforms.
   - plain sum / concat merges (:1414-1417).
 
 The reference loops over batch items with variable N (gat_model.py:1396); here
@@ -95,6 +97,66 @@ class FusionAttentionLayer(nn.Module):
         l_prime = _AttentionStream(self.dim, self.bias_mode, self.dtype,
                                    name="stream_l")(rgb, lidar, prior, pair_valid)
         return r_prime, l_prime
+
+
+class PositionalFusionLayer(nn.Module):
+    """FusionAttention_pe (reference gat_model.py:777-866).
+
+    Q and K are computed from the feature concatenated with the actor's 3D
+    bbox center (cx, cy) — positional concat — while V comes from the raw
+    feature; there is NO distance prior (sigma is accepted but unused in the
+    reference too). Residual/LN/FFN/LN as in the other streams.
+    """
+    dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, lidar: jnp.ndarray,
+                 centers: jnp.ndarray, pair_valid: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        init = nn.initializers.kaiming_normal()
+        pe_dim = self.dim + centers.shape[-1]
+        r_pe = jnp.concatenate([centers, rgb], axis=-1)
+        l_pe = jnp.concatenate([centers, lidar], axis=-1)
+
+        def stream(q_src_pe, kv_src_pe, kv_src, prefix):
+            wq = self.param(f"WQ_{prefix}", init, (pe_dim, self.dim))
+            wk = self.param(f"WK_{prefix}", init, (pe_dim, self.dim))
+            wv = self.param(f"WV_{prefix}", init, (self.dim, self.dim))
+            logits = jnp.einsum("bnd,bmd->bnm", q_src_pe @ wq,
+                                kv_src_pe @ wk) / self.dim ** 0.5
+            att = masked_softmax(logits, pair_valid, axis=-1)
+            out = jnp.einsum("bnm,bmd->bnd", att, kv_src @ wv)
+            out = nn.LayerNorm(name=f"LN1_{prefix}")(out + kv_src)
+            out = out + FFN(self.dim, name=f"FFN_{prefix}")(out)
+            return nn.LayerNorm(name=f"LN2_{prefix}")(out)
+
+        r_prime = stream(l_pe, r_pe, rgb, "r")       # Q from L_pe, K/V from R
+        l_prime = stream(r_pe, l_pe, lidar, "l")     # Q from R_pe, K/V from L
+        return r_prime, l_prime
+
+
+class SocialEncoderLayer(nn.Module):
+    """Masked transformer encoder layer (post-norm, torch defaults).
+
+    Reference Social_Encoder (gat_model.py:1146-1147): a
+    nn.TransformerEncoderLayer(d_model=512, nhead=8) applied to the fused
+    features before the cosine similarity (:1333-1334).
+    """
+    dim: int = 512
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pair_valid: jnp.ndarray) -> jnp.ndarray:
+        att = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="self_att")(
+            x, x, x, mask=pair_valid[:, None, :, :])
+        x = nn.LayerNorm(name="LN1")(x + att)
+        h = nn.Dense(self.ffn_dim, name="FFN_0")(x)
+        h = nn.Dense(self.dim, name="FFN_1")(nn.relu(h))
+        return nn.LayerNorm(name="LN2")(x + h)
 
 
 class CrossAttentionFusion(nn.Module):
@@ -193,11 +255,22 @@ class DAFM(nn.Module):
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, lidar: jnp.ndarray, de: jnp.ndarray,
-                 pair_valid: jnp.ndarray) -> jnp.ndarray:
+                 pair_valid: jnp.ndarray,
+                 centers: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if self.fusion == "sum":
             return rgb + lidar
         if self.fusion == "concat":
             return jnp.concatenate([rgb, lidar], axis=-1)
+        if self.fusion == "Attention_pe":
+            # bbox-center positional concat (gat_model.py:1507-1511):
+            # bb = bboxes3d[:, :2], two stacked layers, elementwise-max merge
+            assert centers is not None, "Attention_pe needs bbox3d centers"
+            r, l = rgb, lidar
+            for i in range(self.num_layers):
+                r, l = PositionalFusionLayer(
+                    dim=self.dim, dtype=self.dtype,
+                    name=f"pe_layer_{i}")(r, l, centers, pair_valid)
+            return jnp.maximum(r, l)
         if self.fusion == "crossAtt":
             return CrossAttentionFusion(dim=self.dim, dtype=self.dtype,
                                         name="cross_att")(rgb, lidar, pair_valid)

@@ -21,7 +21,7 @@ from ..ops.geometry import (pairwise_cosine_similarity, pairwise_euclidean,
 from ..ops.grouping import decode_group_ids, group_max_pool
 from ..ops.masked import masked_max
 from ..types import Batch, ModelOutputs
-from .fusion import DAFM
+from .fusion import DAFM, SocialEncoderLayer
 from .layers import HeadMLP, MaskedBatchNorm
 from .lidar_backbone import LiDARBackbone
 from .rgb_backbone import RGBBackbone
@@ -65,7 +65,8 @@ class GARFusionNet(nn.Module):
         else:
             fused = DAFM(fusion=fcfg.fusion, dim=fcfg.hidden_dim,
                          sigma=fcfg.sigma, num_layers=fcfg.num_fusion_layers,
-                         dtype=self.dtype, name="dafm")(rgb, lidar, de, pair_valid)
+                         dtype=self.dtype, name="dafm")(
+                rgb, lidar, de, pair_valid, centers=centers3d[..., :2])
         fused = fused * valid[..., None].astype(fused.dtype)
 
         # similarity Dv + adjacency head. sim='cosine' is the active config;
@@ -73,7 +74,19 @@ class GARFusionNet(nn.Module):
         # 1294-1329) produce A_theta directly.
         direct_a_theta = None
         if fcfg.sim == "cosine":
-            dv = jax.vmap(pairwise_cosine_similarity)(fused) * pair_valid
+            sim_in = fused
+            if fcfg.social_layer == "mlp":
+                # Social_Layer (gat_model.py:1144-1145, applied :1333-1334)
+                h = nn.relu(nn.Dense(256, name="social_layer_0")(fused))
+                sim_in = nn.Dense(128, name="social_layer_1")(h)
+                sim_in = sim_in * valid[..., None].astype(sim_in.dtype)
+            elif fcfg.social_layer == "encoder":
+                # Social_Encoder (gat_model.py:1146-1147)
+                sim_in = SocialEncoderLayer(
+                    dim=fused.shape[-1], dtype=self.dtype,
+                    name="social_encoder")(fused, pair_valid)
+                sim_in = sim_in * valid[..., None].astype(sim_in.dtype)
+            dv = jax.vmap(pairwise_cosine_similarity)(sim_in) * pair_valid
         elif fcfg.sim == "Graph":
             # phi/sigma bilinear: Dv = phi sigma^T + sigma phi^T (:1294-1301)
             phi = nn.Dense(32, name="sim_phi_1")(

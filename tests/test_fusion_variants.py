@@ -65,9 +65,42 @@ def _run(**fusion_overrides):
     ("Attention_gaussian", 1024),
     ("Attention_multi", 1024),
     ("Attention_MMCA_sty", 1024),
+    ("Attention_pe", 1024),
 ])
 def test_fusion_variant_forward(fusion, feature_dim):
     _run(fusion=fusion, feature_dim=feature_dim)
+
+
+@pytest.mark.parametrize("social_layer", ["mlp", "encoder"])
+def test_social_layer_variants(social_layer):
+    """Social_Layer / Social_Encoder (gat_model.py:1144-1147): Dv must come
+    from the transformed features — outputs change vs the plain cosine path
+    while remaining valid adjacency matrices."""
+    out_plain = _run()
+    out_social = _run(social_layer=social_layer)
+    assert not np.allclose(np.asarray(out_plain.a_theta),
+                           np.asarray(out_social.a_theta))
+
+
+def test_attention_pe_position_sensitivity():
+    """Attention_pe concatenates bbox centers into Q/K — moving the actors
+    (without changing De... actually De changes too, but pe has NO distance
+    prior, so sensitivity must come through the positional concat)."""
+    cfg = tiny_config()
+    mcfg = dataclasses.replace(
+        cfg.model, fusion=dataclasses.replace(cfg.model.fusion,
+                                              fusion="Attention_pe",
+                                              feature_dim=1024))
+    rgb, lidar, b2, b3, valid = _inputs()
+    net = GARFusionNet(mcfg)
+    v = net.init(jax.random.PRNGKey(0), rgb, lidar, b2, b3, valid, False)
+    out1 = net.apply(v, rgb, lidar, b2, b3, valid, False)
+    # shift only x/y centers; pe layers see centers, De ignored by pe
+    b3_shift = b3.at[:, :, :2].add(3.0 * jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, N, 2)).astype(np.float32)))
+    out2 = net.apply(v, rgb, lidar, b2, b3_shift, valid, False)
+    assert not np.allclose(np.asarray(out1.fused_features),
+                           np.asarray(out2.fused_features))
 
 
 @pytest.mark.parametrize("modality", ["RGB", "LiDAR"])
