@@ -74,9 +74,9 @@ class _AttentionStream(nn.Module):
         att = masked_softmax(logits, pair_valid, axis=-1)
         out = jnp.einsum("bnm,bmd->bnd", att, v)
 
-        out = nn.LayerNorm(name="LN1")(out + kv_src)
+        out = nn.LayerNorm(epsilon=1e-5, name="LN1")(out + kv_src)
         out = out + FFN(self.dim, name="FFN")(out)
-        return nn.LayerNorm(name="LN2")(out)
+        return nn.LayerNorm(epsilon=1e-5, name="LN2")(out)
 
 
 class FusionAttentionLayer(nn.Module):
@@ -127,9 +127,9 @@ class PositionalFusionLayer(nn.Module):
                                 kv_src_pe @ wk) / self.dim ** 0.5
             att = masked_softmax(logits, pair_valid, axis=-1)
             out = jnp.einsum("bnm,bmd->bnd", att, kv_src @ wv)
-            out = nn.LayerNorm(name=f"LN1_{prefix}")(out + kv_src)
+            out = nn.LayerNorm(epsilon=1e-5, name=f"LN1_{prefix}")(out + kv_src)
             out = out + FFN(self.dim, name=f"FFN_{prefix}")(out)
-            return nn.LayerNorm(name=f"LN2_{prefix}")(out)
+            return nn.LayerNorm(epsilon=1e-5, name=f"LN2_{prefix}")(out)
 
         r_prime = stream(l_pe, r_pe, rgb, "r")       # Q from L_pe, K/V from R
         l_prime = stream(r_pe, l_pe, lidar, "l")     # Q from R_pe, K/V from L
@@ -153,10 +153,10 @@ class SocialEncoderLayer(nn.Module):
         att = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="self_att")(
             x, x, x, mask=pair_valid[:, None, :, :])
-        x = nn.LayerNorm(name="LN1")(x + att)
+        x = nn.LayerNorm(epsilon=1e-5, name="LN1")(x + att)
         h = nn.Dense(self.ffn_dim, name="FFN_0")(x)
         h = nn.Dense(self.dim, name="FFN_1")(nn.relu(h))
-        return nn.LayerNorm(name="LN2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="LN2")(x + h)
 
 
 class CrossAttentionFusion(nn.Module):
@@ -177,9 +177,9 @@ class CrossAttentionFusion(nn.Module):
             att = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype,
                 name=f"{prefix}_mha")(q_src, kv_src, kv_src, mask=mask)
-            x = nn.LayerNorm(name=f"{prefix}_ln1")(att + kv_src)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"{prefix}_ln1")(att + kv_src)
             x = x + FFN(self.dim, name=f"{prefix}_ffn")(x)
-            return nn.LayerNorm(name=f"{prefix}_ln2")(x)
+            return nn.LayerNorm(epsilon=1e-5, name=f"{prefix}_ln2")(x)
 
         r = stream(lidar, rgb, "r")
         l = stream(rgb, lidar, "l")
@@ -202,8 +202,8 @@ class CatAndAttFusion(nn.Module):
         att = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="att")(
             x, x, x, mask=pair_valid[:, None, :, :])
-        x = nn.LayerNorm(name="LN")(x + att)
-        x = nn.LayerNorm(name="LN2")(FFN(self.dim, name="FL2")(x) + x)
+        x = nn.LayerNorm(epsilon=1e-5, name="LN")(x + att)
+        x = nn.LayerNorm(epsilon=1e-5, name="LN2")(FFN(self.dim, name="FL2")(x) + x)
         return x
 
 
@@ -233,9 +233,9 @@ class MMCAStyleFusion(nn.Module):
             logits = jnp.einsum("bnd,bmd->bnm", x @ wq, x @ wk) / self.dim ** 0.5
             att = masked_softmax(logits, pv, axis=-1)
             y = jnp.einsum("bnm,bmd->bnd", att, x @ wv)
-            y = nn.LayerNorm(name=f"LN1_{i}")(y + x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"LN1_{i}")(y + x)
             y = y + FFN(self.dim, name=f"FFN_{i}")(y)
-            x = nn.LayerNorm(name=f"LN2_{i}")(y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"LN2_{i}")(y)
         n = rgb.shape[1]
         return jnp.maximum(x[:, :n], x[:, n:])
 

@@ -92,6 +92,13 @@ def zero_eigvecs_host(a_hat: np.ndarray, n_valid: int, max_vecs: int
 
     Returns (max_vecs, N) padded eigenvector rows + count. This is pure label
     processing (A_hat is GT), so it runs in the input pipeline, not on device.
+
+    Deliberate fixes vs the reference (train_utils.py:128-136): the reference
+    takes ROWS of the eigenvector matrix (``evecs[val]`` — a transpose bug;
+    eigenvectors are columns) and keeps only eigenvalues EXACTLY equal to 0.0
+    (``abs(evals[val]).item() == 0``), which numerically almost never fires,
+    silently disabling L_eig. Here: proper column eigenvectors via eigh with a
+    1e-9 tolerance.
     """
     n = a_hat.shape[0]
     sub = a_hat[:n_valid, :n_valid].astype(np.float64)
@@ -150,7 +157,9 @@ def eig_loss(a_theta: jnp.ndarray, e_hat: jnp.ndarray, e_count: jnp.ndarray,
         kmask = (jnp.arange(e.shape[0]) < k).astype(a.dtype)
         e = e * kmask[:, None]
         lt_l = lap.T @ lap
-        first = jnp.sum((e @ lt_l) * e)
+        # full sum over the (k, k) matrix e Lt L e^T — NOT just its trace
+        # (train_utils.py:138 sums every entry); padded e rows are zero.
+        first = jnp.sum((e @ lt_l) @ e.T)
         proj = jnp.eye(n, dtype=a.dtype) - e.T @ e
         lbar = lap @ proj
         second = alpha * jnp.exp(-beta * jnp.trace(lbar.T @ lap))
