@@ -96,6 +96,102 @@ def test_checkpoint_conversion_overlays_weights():
     assert np.allclose(got_scale, 2.0)
 
 
+def _fabricate_full_i3d_state_dict():
+    """A COMPLETE rgb_imagenet.pt-style state dict: every endpoint the torch
+    InceptionI3d(final_endpoint='Logits') registers (backbone.py:254-425),
+    every Unit3D carrying conv3d.weight + 4 bn buffers + num_batches_tracked.
+    Each tensor is filled with a unique constant so any naming drift shows up
+    as a value mismatch."""
+    units = {}   # prefix -> (cin, cout, k)
+    for name, (cin, cout, k) in {
+        "Conv3d_1a_7x7": (3, 64, 7),
+        "Conv3d_2b_1x1": (64, 64, 1),
+        "Conv3d_2c_3x3": (64, 192, 3),
+    }.items():
+        units[name] = (cin, cout, k)
+    mixed = {
+        "Mixed_3b": (192, [64, 96, 128, 16, 32, 32]),
+        "Mixed_3c": (256, [128, 128, 192, 32, 96, 64]),
+        "Mixed_4b": (480, [192, 96, 208, 16, 48, 64]),
+        "Mixed_4c": (512, [160, 112, 224, 24, 64, 64]),
+        "Mixed_4d": (512, [128, 128, 256, 24, 64, 64]),
+        "Mixed_4e": (512, [112, 144, 288, 32, 64, 64]),
+        "Mixed_4f": (528, [256, 160, 320, 32, 128, 128]),
+        "Mixed_5b": (832, [256, 160, 320, 32, 128, 128]),
+        "Mixed_5c": (832, [384, 192, 384, 48, 128, 128]),
+    }
+    for name, (cin, o) in mixed.items():
+        for b, (bc_in, bc_out, k) in {
+            "b0": (cin, o[0], 1), "b1a": (cin, o[1], 1), "b1b": (o[1], o[2], 3),
+            "b2a": (cin, o[3], 1), "b2b": (o[3], o[4], 3), "b3b": (cin, o[5], 1),
+        }.items():
+            units[f"{name}.{b}"] = (bc_in, bc_out, k)
+
+    sd, expected, i = {}, {}, 0
+
+    def const(shape):
+        nonlocal i
+        i += 1
+        return np.full(shape, 0.5 + 0.001 * i, np.float32)
+
+    for prefix, (cin, cout, k) in units.items():
+        sd[f"{prefix}.conv3d.weight"] = const((cout, cin, k, k, k))
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{prefix}.bn.{leaf}"] = const((cout,))
+        sd[f"{prefix}.bn.num_batches_tracked"] = np.asarray(7, np.int64)
+    # Logits head (backbone.py:383-385): Unit3D without bn, with bias
+    sd["logits.conv3d.weight"] = const((400, 1024, 1, 1, 1))
+    sd["logits.conv3d.bias"] = const((400,))
+    return sd
+
+
+def test_full_tree_checkpoint_conversion():
+    """Zero unmatched keys in BOTH directions for a complete Kinetics-style
+    checkpoint: every flax leaf under the Mixed_4f tree is overwritten with
+    its torch twin's unique constant, and deeper torch layers (Mixed_5*,
+    logits) are ignored cleanly (VERDICT round-1 item 7)."""
+    from multimodal_gar_tpu.models.i3d_convert import load_i3d_checkpoint
+
+    sd = _fabricate_full_i3d_state_dict()
+    m = InceptionI3d(final_endpoint="Mixed_4f")
+    v = jax.jit(partial(m.init, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32, 3)))
+    wrapped = {"params": {"s": {"i3d": v["params"]}},
+               "batch_stats": {"s": {"i3d": v["batch_stats"]}}}
+    out = load_i3d_checkpoint(wrapped, sd, scope="s")
+
+    leaf_to_torch = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                     "mean": "running_mean", "var": "running_var"}
+
+    def walk(tree, path, collection, n_checked=0):
+        for key, val in tree.items():
+            p = path + (key,)
+            if isinstance(val, dict):
+                n_checked = walk(val, p, collection, n_checked)
+                continue
+            # flax path -> torch key
+            layer, leaf = p[-2], p[-1]
+            torch_leaf = leaf_to_torch[leaf]
+            torch_key = ".".join(p[:-1]) + "." + torch_leaf
+            assert torch_key in sd, f"no torch twin for flax leaf {p}"
+            src = sd[torch_key]
+            if leaf == "kernel":
+                src = src.transpose(2, 3, 4, 1, 0)
+            np.testing.assert_array_equal(
+                np.asarray(val), src, err_msg=str(p))
+            n_checked += 1
+        return n_checked
+
+    n_p = walk(jax.tree_util.tree_map(np.asarray,
+                                      out["params"]["s"]["i3d"]), (), sd)
+    n_s = walk(jax.tree_util.tree_map(np.asarray,
+                                      out["batch_stats"]["s"]["i3d"]), (), sd)
+    # 45 Unit3D units up to Mixed_4f (3 stem convs + 7 mixed blocks x 6
+    # branches): each has kernel+bn scale+bn bias params and mean+var stats
+    assert n_p == 45 * 3, n_p
+    assert n_s == 45 * 2, n_s
+
+
 def test_checkpoint_conversion_shape_mismatch_raises():
     from multimodal_gar_tpu.models.i3d_convert import load_i3d_checkpoint
     from multimodal_gar_tpu.models.i3d import InceptionI3d
