@@ -86,8 +86,17 @@ def set_detection_ap(detections: Sequence[Tuple],
     detections: (image_key, boxes (K, 4), score)
     groundtruth: (image_key, boxes (K', 4))
     A detection matches a GT group iff the member sets correspond one-to-one
-    with per-box IoU >= threshold and |K| == |K'| (exact membership) — the
-    JRDB-Act task-3 criterion with GT person boxes supplied.
+    with per-box IoU >= threshold and |K| == |K'| (exact membership).
+
+    Criterion source: the JRDB-Act social-group detection protocol
+    (Ehsanpour et al., "JRDB-Act", CVPR 2022 — group detection AP with
+    members matched to GT at IoU 0.5, reported per group-size bucket
+    G1..G5+). The reference drives the (unvendored, AVA-derived)
+    jrdb_toolkit implementation at train_func.py:289-315; in the MGAR
+    setting detections reuse the GT person boxes (voxelrcnn_head.py:92), so
+    the per-member IoU matching reduces to exact membership equality, which
+    this implementation reproduces and tests/test_eval.py pins with
+    hand-computed golden AP fixtures.
     """
     gt_by_img: Dict = defaultdict(list)
     for key, boxes in groundtruth:

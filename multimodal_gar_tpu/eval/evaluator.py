@@ -12,8 +12,7 @@ from typing import Callable, Dict, Iterable, Optional
 import numpy as np
 
 from ..types import Batch, ModelOutputs
-from .jrdb_eval import (ResultAccumulator, write_action_results,
-                        write_group_results)
+from .jrdb_eval import ResultAccumulator, write_detection_csv, write_gt_csv
 
 # inverse of train/labels.py partition_action_labels: head slice -> 27-class ids
 # (classes 10, 25, 26 are not covered by any head — a reference quirk,
@@ -75,7 +74,6 @@ def evaluate_epoch(eval_step: Callable[[Batch], ModelOutputs],
     (grouping / action / activity CSVs, the constrct_group output contract).
     """
     acc = ResultAccumulator()
-    group_records, action_records, activity_records = [], [], []
     for batch in batches:
         out = eval_step(batch)
         accumulate_batch(acc, batch, out)
@@ -83,20 +81,48 @@ def evaluate_epoch(eval_step: Callable[[Batch], ModelOutputs],
     metrics = acc.evaluate_all()
 
     if result_dir:
-        os.makedirs(result_dir, exist_ok=True)
-        for label, dets in acc.det_action.items():
-            action_records.extend(
-                (key, b, label, s) for key, b, s in dets)
-        for label, dets in acc.det_activity.items():
-            activity_records.extend(
-                (key, b, label, s) for key, b, s in dets)
-        for gi, (key, boxes, score) in enumerate(acc.det_groups):
-            for b in boxes:
-                group_records.append((key, b, gi, score))
-        write_action_results(os.path.join(result_dir, "action.txt"),
-                             action_records)
-        write_action_results(os.path.join(result_dir, "activity.txt"),
-                             activity_records)
-        write_group_results(os.path.join(result_dir, "grouping.txt"),
-                            group_records)
+        write_result_files(acc, result_dir)
     return metrics
+
+
+def _vid_ts(key: str):
+    vid, ts = key.split(":")
+    return vid, int(ts)
+
+
+def write_result_files(acc: ResultAccumulator, result_dir: str) -> None:
+    """Write the six AVA-format CSVs: detections (grouping/action/activity —
+    the constrct_group output contract) plus the matching ground-truth files
+    (the toolkit's `groundtruth=` inputs, train_func.py:289-315)."""
+    os.makedirs(result_dir, exist_ok=True)
+
+    def det_rows(dets_by_label):
+        for label, dets in dets_by_label.items():
+            for key, b, s in dets:
+                yield (*_vid_ts(key), b, label, s)
+
+    def gt_rows(gts_by_label):
+        for label, gts in gts_by_label.items():
+            for key, b in gts:
+                yield (*_vid_ts(key), b, label)
+
+    write_detection_csv(os.path.join(result_dir, "action.txt"),
+                        det_rows(acc.det_action))
+    write_detection_csv(os.path.join(result_dir, "activity.txt"),
+                        det_rows(acc.det_activity))
+    write_gt_csv(os.path.join(result_dir, "gt_action.txt"),
+                 gt_rows(acc.gt_action))
+    write_gt_csv(os.path.join(result_dir, "gt_activity.txt"),
+                 gt_rows(acc.gt_activity))
+
+    group_records, gt_group_records = [], []
+    for gi, (key, boxes, score) in enumerate(acc.det_groups):
+        for b in boxes:
+            group_records.append((*_vid_ts(key), b, gi, score))
+    for gi, (key, boxes) in enumerate(acc.gt_groups):
+        for b in boxes:
+            gt_group_records.append((*_vid_ts(key), b, gi))
+    write_detection_csv(os.path.join(result_dir, "grouping.txt"),
+                        group_records)
+    write_gt_csv(os.path.join(result_dir, "gt_grouping.txt"),
+                 gt_group_records)

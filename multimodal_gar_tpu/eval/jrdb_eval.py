@@ -127,33 +127,86 @@ class ResultAccumulator:
 
 
 # ---------------------------------------------------------------------------
-# result-file IO (AVA-style CSV, interchangeable with the toolkit format)
+# result-file IO — AVA ActivityNet CSV convention
+#
+# The jrdb_toolkit evaluator the reference drives (train_func.py:289-315) is
+# AVA-derived: it consumes CSV files whose rows are
+#   video_id,timestamp,x1,y1,x2,y2,label_id[,score]
+# (score column present for detections, absent for ground truth). For task_3
+# the label_id column carries the per-frame GROUP id (constrct_group output);
+# for tasks 1/4 it carries the action/activity class id. Box coordinates are
+# written in pixels (the toolkit accepts any consistent unit since matching
+# is IoU-based).
 # ---------------------------------------------------------------------------
 
-def write_action_results(path: str, records: Iterable[Tuple]) -> None:
-    """records: (key, box(4,), label, score)"""
+def write_detection_csv(path: str, records: Iterable[Tuple]) -> None:
+    """records: (video_id, timestamp, box(4,), label_id, score)"""
     with open(path, "w") as f:
-        for key, b, label, score in records:
-            f.write(f"{key},{b[0]:.2f},{b[1]:.2f},{b[2]:.2f},{b[3]:.2f},"
-                    f"{int(label)},{score:.6f}\n")
+        for vid, ts, b, label, score in records:
+            f.write(f"{vid},{int(ts)},{b[0]:.3f},{b[1]:.3f},{b[2]:.3f},"
+                    f"{b[3]:.3f},{int(label)},{score:.6f}\n")
 
 
-def write_group_results(path: str, records: Iterable[Tuple]) -> None:
-    """records: (key, box(4,), group_id, score)"""
+def write_gt_csv(path: str, records: Iterable[Tuple]) -> None:
+    """records: (video_id, timestamp, box(4,), label_id)"""
     with open(path, "w") as f:
-        for key, b, gid, score in records:
-            f.write(f"{key},{b[0]:.2f},{b[1]:.2f},{b[2]:.2f},{b[3]:.2f},"
-                    f"{int(gid)},{score:.6f}\n")
+        for vid, ts, b, label in records:
+            f.write(f"{vid},{int(ts)},{b[0]:.3f},{b[1]:.3f},{b[2]:.3f},"
+                    f"{b[3]:.3f},{int(label)}\n")
 
 
-def read_results(path: str) -> List[Tuple]:
+def read_csv(path: str) -> List[Tuple]:
+    """Parse an AVA-style CSV. Returns (video_id, timestamp, box(4,),
+    label_id, score) tuples; score is None for ground-truth rows."""
     out = []
     with open(path) as f:
         for line in f:
             parts = line.strip().split(",")
             if len(parts) < 7:
                 continue
-            key = parts[0]
-            box = np.asarray([float(v) for v in parts[1:5]])
-            out.append((key, box, int(parts[5]), float(parts[6])))
+            vid, ts = parts[0], int(parts[1])
+            box = np.asarray([float(v) for v in parts[2:6]])
+            label = int(parts[6])
+            score = float(parts[7]) if len(parts) > 7 else None
+            out.append((vid, ts, box, label, score))
     return out
+
+
+def _groups_from_rows(rows: Sequence[Tuple], with_score: bool) -> List[Tuple]:
+    """Reassemble group sets from per-member rows keyed by
+    (video, timestamp, group_id)."""
+    by_group: Dict = defaultdict(list)
+    for vid, ts, box, gid, score in rows:
+        by_group[(vid, ts, gid)].append((box, score))
+    out = []
+    for (vid, ts, _gid), members in by_group.items():
+        key = f"{vid}:{ts:06d}"
+        boxes = np.stack([m[0] for m in members])
+        if with_score:
+            out.append((key, boxes,
+                        float(np.mean([m[1] for m in members]))))
+        else:
+            out.append((key, boxes))
+    return out
+
+
+def evaluate_result_files(grouping_det: str, grouping_gt: str,
+                          action_det: str, action_gt: str,
+                          activity_det: str, activity_gt: str
+                          ) -> Dict[str, float]:
+    """File-driven evaluation — the toolkit's ``evaluate(labelmap,
+    groundtruth, detections, task)`` contract (train_func.py:289-315):
+    consumes the six result/GT CSVs and returns the same metrics dict as
+    ``ResultAccumulator.evaluate_all``."""
+    acc = ResultAccumulator()
+    acc.det_groups = _groups_from_rows(read_csv(grouping_det), True)
+    acc.gt_groups = _groups_from_rows(read_csv(grouping_gt), False)
+    for vid, ts, box, label, score in read_csv(action_det):
+        acc.det_action[label].append((f"{vid}:{ts:06d}", box, score))
+    for vid, ts, box, label, _ in read_csv(action_gt):
+        acc.gt_action[label].append((f"{vid}:{ts:06d}", box))
+    for vid, ts, box, label, score in read_csv(activity_det):
+        acc.det_activity[label].append((f"{vid}:{ts:06d}", box, score))
+    for vid, ts, box, label, _ in read_csv(activity_gt):
+        acc.gt_activity[label].append((f"{vid}:{ts:06d}", box))
+    return acc.evaluate_all()

@@ -103,14 +103,108 @@ def test_group_decode_matches_reference_loop(rng):
 
 
 def test_result_file_roundtrip(tmp_path):
-    from multimodal_gar_tpu.eval.jrdb_eval import (read_results,
-                                                   write_action_results)
-    recs = [("0001:000007", np.array([1.0, 2.0, 3.0, 4.0]), 5, 0.75),
-            ("0001:000008", np.array([9.5, 2.25, 30.0, 40.0]), 11, 0.5)]
+    """AVA CSV convention: video_id,timestamp,x1,y1,x2,y2,label[,score]."""
+    from multimodal_gar_tpu.eval.jrdb_eval import (read_csv,
+                                                   write_detection_csv,
+                                                   write_gt_csv)
+    recs = [("0001", 7, np.array([1.0, 2.0, 3.0, 4.0]), 5, 0.75),
+            ("0001", 8, np.array([9.5, 2.25, 30.0, 40.0]), 11, 0.5)]
     path = str(tmp_path / "action.txt")
-    write_action_results(path, recs)
-    back = read_results(path)
+    write_detection_csv(path, recs)
+    back = read_csv(path)
     assert len(back) == 2
-    key, box, label, score = back[0]
-    assert key == "0001:000007" and label == 5 and abs(score - 0.75) < 1e-9
-    np.testing.assert_allclose(box, recs[0][1], atol=0.01)
+    vid, ts, box, label, score = back[0]
+    assert vid == "0001" and ts == 7 and label == 5
+    assert abs(score - 0.75) < 1e-9
+    np.testing.assert_allclose(box, recs[0][2], atol=0.01)
+    # GT rows have no score column
+    gt_path = str(tmp_path / "gt.txt")
+    write_gt_csv(gt_path, [r[:4] for r in recs])
+    gt_back = read_csv(gt_path)
+    assert gt_back[0][4] is None
+    assert open(gt_path).readline().count(",") == 6
+
+
+# ---------------------------------------------------------------------------
+# Golden AP fixtures (hand-computed; VERDICT round-1 item 4)
+# ---------------------------------------------------------------------------
+
+def test_detection_ap_golden_value():
+    """2 GT, 3 dets ranked TP/FP/TP:
+    recall [1/2, 1/2, 1], precision [1, 1/2, 2/3]
+    -> all-point AP = 0.5*1 + 0.5*(2/3) = 5/6."""
+    gt = [("f0", np.array([0, 0, 10, 10.0])),
+          ("f0", np.array([20, 20, 30, 30.0]))]
+    det = [("f0", np.array([0, 0, 10, 10.0]), 0.9),
+           ("f0", np.array([40, 40, 50, 50.0]), 0.8),
+           ("f0", np.array([20, 20, 30, 30.0]), 0.7)]
+    assert abs(detection_ap(det, gt) - 5 / 6) < 1e-9
+
+
+def test_grouping_ap_golden_buckets():
+    """GT groups: {p0,p1}, {p2,p3}, {p4}. Predictions: {p0,p1}@.9 (TP),
+    {p2}@.8 (FP in G1), {p3}@.7 (FP in G1), {p4}@.6 (TP in G1).
+    G1: dets ranked FP,FP,TP over 1 GT -> recall [0,0,1], prec [0,0,1/3]
+        -> AP = 1/3.
+    G2: single TP over 2 GT -> AP = 1/2.
+    overall = mean(1/3, 1/2) = 5/12 (G3..G5 have no GT -> excluded)."""
+    acc = ResultAccumulator()
+    n = 5
+    boxes = np.array([[i * 10, 0, i * 10 + 5, 5] for i in range(n)], float)
+    valid = np.ones(n, bool)
+    acts = np.zeros((n, 27), np.float32)
+    acts[:, 0] = 1
+    scores = np.zeros((n, 27), np.float32)
+    scores[:, 0] = 0.5
+    gt_groups = np.array([0, 0, 1, 1, 2])
+    pred_groups = np.array([0, 0, 1, 2, 3])
+    # per-person group confidence ordering: {p0,p1} > {p2} > {p3} > {p4}
+    group_conf = np.array([0.9, 0.9, 0.8, 0.7, 0.6])
+    acc.add_frame(0, 0, boxes, valid, acts, acts, gt_groups,
+                  scores, scores, pred_groups, group_conf)
+    m = acc.evaluate_grouping()
+    assert abs(m["G1_AP"] - 1 / 3) < 1e-9, m
+    assert abs(m["G2_AP"] - 1 / 2) < 1e-9, m
+    assert m["G3_AP"] == 0.0 and m["G4_AP"] == 0.0 and m["G5_AP"] == 0.0
+    assert abs(m["overall_AP"] - 5 / 12) < 1e-9, m
+
+
+def test_grouping_exact_membership_rule():
+    """A predicted group with the right SIZE but one wrong member is a FP
+    (one-to-one member IoU matching fails)."""
+    boxes = np.array([[0, 0, 1, 1], [2, 2, 3, 3], [4, 4, 5, 5.0]])
+    gt = [("f0", boxes[:2])]                       # GT group {b0, b1}
+    wrong_member = [("f0", boxes[[0, 2]], 0.9)]    # predicted {b0, b2}
+    assert set_detection_ap(wrong_member, gt) == 0.0
+
+
+def test_file_driven_eval_matches_direct(tmp_path):
+    """Round-trip: write the six CSVs from an accumulator, re-evaluate from
+    the FILES (the toolkit's evaluate(groundtruth=..., detections=...)
+    contract), and get identical metrics."""
+    from multimodal_gar_tpu.eval.evaluator import write_result_files
+    from multimodal_gar_tpu.eval.jrdb_eval import evaluate_result_files
+    rng = np.random.default_rng(0)
+    acc = ResultAccumulator()
+    for frame in range(3):
+        n = 6
+        boxes = rng.uniform(0, 80, (n, 4))
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(4, 10, (n, 2))
+        valid = np.ones(n, bool)
+        acts = (rng.uniform(size=(n, 27)) < 0.2).astype(np.float32)
+        scores = rng.uniform(size=(n, 27)).astype(np.float32)
+        gt_groups = rng.integers(0, 3, n)
+        pred_groups = rng.integers(0, 4, n)
+        conf = rng.uniform(size=n)
+        acc.add_frame(0, frame, boxes, valid, acts, acts, gt_groups,
+                      scores, scores, pred_groups, conf)
+    direct = acc.evaluate_all()
+
+    d = str(tmp_path / "res")
+    write_result_files(acc, d)
+    from_files = evaluate_result_files(
+        f"{d}/grouping.txt", f"{d}/gt_grouping.txt",
+        f"{d}/action.txt", f"{d}/gt_action.txt",
+        f"{d}/activity.txt", f"{d}/gt_activity.txt")
+    for k, v in direct.items():
+        assert abs(from_files[k] - v) < 1e-6, (k, v, from_files[k])
