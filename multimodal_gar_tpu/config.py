@@ -65,6 +65,11 @@ class DataConfig:
     point_cloud: PointCloudConfig = field(default_factory=PointCloudConfig)
     image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # STRICT-COMPAT (reference dataloader.py:264): the reference reads the
+    # action/activity labels from the FIRST frame of the 15-frame clip while
+    # boxes/ids come from the key frame. False (default) = labels from the
+    # key frame (the fix); True = bug-compatible clip-start labels.
+    actions_from_clip_start: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +118,10 @@ class LiDARBackboneConfig:
     # Max active voxels per downsampling stage, static shapes for XLA. Stage 0 covers
     # stride-1 voxels (bounded by voxelizer max_voxels); later stages shrink.
     max_voxels_per_stage: Tuple[int, int, int, int] = (16000, 16000, 8000, 4000)
+    # STRICT-COMPAT (ops/voxel.py:197-206): False (default) = approx_max_k
+    # neighbor selection (recall ~0.99, much faster on TPU); True = bitwise
+    # scan-order parity with the reference voxel_query CUDA kernel.
+    voxel_query_exact: bool = False
 
 
 @dataclass

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import DataConfig
-from .pointcloud import load_dual_velodyne
+from .pointcloud import load_dual_velodyne, load_velodyne_calibs
 from .voxelizer import Voxelizer, pad_voxels
 
 try:
@@ -55,6 +55,11 @@ class JRDBActDataset:
         self.pc_root = os.path.join(
             root, "train_dataset_with_activity", "pointclouds", "lower_velodyne")
         self.seq_names = sorted(os.listdir(self.image_root))
+        # real velodyne->base calibration when the dataset ships it; the
+        # documented constants otherwise (data/pointcloud.py)
+        self.velodyne_calibs = load_velodyne_calibs(os.path.join(
+            root, "train_dataset_with_activity", "calibration",
+            "defaults.yaml"))
 
         # key-frame index, pre-filtered for degenerate scenes
         self.frames: List[Tuple[int, int]] = [
@@ -120,6 +125,15 @@ class JRDBActDataset:
         person_id = np.full((n,), -1, np.int32)
         group_id = np.full((n,), -1, np.int32)
 
+        # STRICT-COMPAT actions_from_clip_start (dataloader.py:264): the
+        # reference takes action labels from the clip's FIRST frame
+        # (positionally aligned with that frame's person list) while
+        # boxes/ids come from the key frame. Default: key-frame labels.
+        label_ann = ann
+        if self.cfg.actions_from_clip_start:
+            first_fid = self.clip_frame_ids(src_fid)[0]
+            label_ann = self.anns[sid].get(first_fid, ann)
+
         k = min(len(ann["person_id"]), n)
         for i in range(k):
             # xywh normalized -> xyxy pixels (dataloader.py:222-226)
@@ -128,8 +142,10 @@ class JRDBActDataset:
             b3 = ann["bboxes_3d"][i]
             boxes3d[i] = (b3["cx"], b3["cy"], b3["cz"],
                           b3["l"], b3["w"], b3["h"], b3["rot_z"])
-            actions[i] = np.asarray(ann["actions"][i], np.float32)
-            activity[i] = np.asarray(ann["social_group_activity"][i], np.float32)
+            if i < len(label_ann["person_id"]):
+                actions[i] = np.asarray(label_ann["actions"][i], np.float32)
+                activity[i] = np.asarray(
+                    label_ann["social_group_activity"][i], np.float32)
             person_id[i] = ann["person_id"][i]
             group_id[i] = ann["social_group_id"][i]
         valid = person_id >= 0
@@ -140,7 +156,7 @@ class JRDBActDataset:
         pc = load_dual_velodyne(pc_path,
                                 num_features=cfg.point_cloud.num_point_features,
                                 num_points=cfg.point_cloud.num_points,
-                                rng=self._rng)
+                                rng=self._rng, calibs=self.velodyne_calibs)
         if self.training and cfg.point_cloud.shuffle_train:
             self._rng.shuffle(pc)
         vox = self.voxelizer(pc)

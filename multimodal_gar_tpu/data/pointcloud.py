@@ -107,6 +107,54 @@ UPPER_VELODYNE_CALIB = VelodyneCalib(yaw=0.085, translation=(0.0, 0.0, 0.33529))
 LOWER_VELODYNE_CALIB = VelodyneCalib(yaw=0.0, translation=(0.0, 0.0, -0.13511))
 
 
+def load_velodyne_calibs(calib_path: str
+                         ) -> tuple["VelodyneCalib", "VelodyneCalib"]:
+    """Parse a JRDB calibration YAML -> (upper, lower) VelodyneCalib.
+
+    JRDB ships ``calibration/defaults.yaml`` with per-sensor rigid transforms
+    under keys containing ``lidar_upper``/``lidar_lower`` (each carrying a
+    3-vector ``translation`` and an ``rpy``/``rotation`` 3-vector whose last
+    component is the yaw). Key layout varies across releases, so the lookup
+    is tolerant: any mapping whose key names the sensor is accepted.
+    Falls back to the documented constants when the file is missing or no
+    matching entry is found.
+    """
+    import yaml
+
+    try:
+        with open(calib_path) as f:
+            doc = yaml.safe_load(f)
+    except (FileNotFoundError, OSError):
+        return UPPER_VELODYNE_CALIB, LOWER_VELODYNE_CALIB
+
+    found = {}
+
+    def visit(node, name=""):
+        if not isinstance(node, dict):
+            return
+        trans = node.get("translation")
+        rot = node.get("rpy", node.get("rotation"))
+        if trans is not None and hasattr(trans, "__len__") and len(trans) == 3:
+            lname = name.lower()
+            for sensor in ("upper", "lower"):
+                if sensor in lname and ("lidar" in lname
+                                        or "velodyne" in lname):
+                    yaw = float(rot[2]) if (rot is not None
+                                            and hasattr(rot, "__len__")
+                                            and len(rot) == 3) else 0.0
+                    found.setdefault(
+                        sensor,
+                        VelodyneCalib(yaw=yaw,
+                                      translation=tuple(float(t)
+                                                        for t in trans)))
+        for k, v in node.items():
+            visit(v, str(k))
+
+    visit(doc if isinstance(doc, dict) else {})
+    return (found.get("upper", UPPER_VELODYNE_CALIB),
+            found.get("lower", LOWER_VELODYNE_CALIB))
+
+
 def transform_pts_upper_velodyne_to_base(xyz: np.ndarray) -> np.ndarray:
     return UPPER_VELODYNE_CALIB.apply(xyz)
 
@@ -134,21 +182,26 @@ def sample_points(points: np.ndarray, num_points: int,
 
 def load_dual_velodyne(lower_path: str, num_features: int = 4,
                        num_points: Optional[int] = None,
-                       rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                       rng: Optional[np.random.Generator] = None,
+                       calibs: Optional[tuple] = None) -> np.ndarray:
     """Load lower+upper velodyne PCDs, transform both to base, concat, sample.
 
     Mirrors reference JRDB_act.load_pc (dataloader.py:119-131); the upper
     scan's path is derived by the lower->upper directory substitution.
+    ``calibs``: optional (upper, lower) VelodyneCalib pair (e.g. from
+    load_velodyne_calibs); defaults to the documented constants.
     """
+    upper_calib, lower_calib = calibs or (UPPER_VELODYNE_CALIB,
+                                          LOWER_VELODYNE_CALIB)
     lower = load_pcd(lower_path, num_features)
     upper_path = lower_path.replace("lower_velodyne", "upper_velodyne")
     try:
         upper = load_pcd(upper_path, num_features)
     except FileNotFoundError:
         upper = np.zeros((0, num_features), np.float32)
-    lower[:, :3] = transform_pts_lower_velodyne_to_base(lower[:, :3])
+    lower[:, :3] = lower_calib.apply(lower[:, :3])
     if len(upper):
-        upper[:, :3] = transform_pts_upper_velodyne_to_base(upper[:, :3])
+        upper[:, :3] = upper_calib.apply(upper[:, :3])
     pc = np.concatenate([upper, lower], axis=0)
     if num_points is not None:
         pc = sample_points(pc, num_points, rng)

@@ -63,6 +63,7 @@ class NeighborVoxelPoolLayer(nn.Module):
     point_cloud_range: Sequence[float]
     stride: int
     pool_method: str = "max_pool"
+    exact_query: bool = False      # strict-compat scan-order voxel_query
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,7 +101,8 @@ class NeighborVoxelPoolLayer(nn.Module):
             idx, empty = vox.voxel_query(
                 None, centers, q_xyz, q_zyx, q_valid, st.spatial_shape,
                 self.query_range, self.radius, self.nsample,
-                voxel_coords=coords, voxel_valid=valid)
+                voxel_coords=coords, voxel_valid=valid,
+                exact=self.exact_query)
             grouped_f = feats[idx]                                   # (R, S, C)
             grouped_xyz = centers[idx] - q_xyz[:, None, :]           # (R, S, 3)
             zero = (~empty)[:, None, None].astype(grouped_f.dtype)
@@ -168,7 +170,9 @@ class ROIGridPool(nn.Module):
                 radius=layer_cfg.radius, nsample=layer_cfg.nsample,
                 voxel_size=self.pc_cfg.voxel.voxel_size,
                 point_cloud_range=self.pc_cfg.range, stride=stride,
-                pool_method=layer_cfg.pool_method, dtype=self.dtype,
+                pool_method=layer_cfg.pool_method,
+                exact_query=getattr(self.cfg, "voxel_query_exact", False),
+                dtype=self.dtype,
                 name=f"pool_{layer_cfg.source}",
             )(st, grid_xyz, grid_valid, train)
             pooled.append(out)
