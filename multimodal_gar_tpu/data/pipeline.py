@@ -22,7 +22,8 @@ class DataPipeline:
     def __init__(self, dataset: JRDBActDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 2023,
                  shard_index: int = 0, shard_count: int = 1,
-                 drop_last: bool = True, prefetch: int = 2):
+                 drop_last: bool = True, prefetch: int = 2,
+                 with_eig: bool = False, eig_max_vecs: int = 16):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -31,6 +32,34 @@ class DataPipeline:
         self.shard_count = shard_count
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # precompute spectral-loss eigvecs in the producer thread instead of
+        # synchronously in the step loop (reference-free; SURVEY.md §7.2.4)
+        self.with_eig = with_eig
+        self.eig_max_vecs = eig_max_vecs
+
+    def _make_batch(self, indices) -> Batch:
+        """Collate one batch; short batches are PADDED to batch_size with
+        all-invalid duplicates so every step compiles to ONE shape (the
+        remainder batch otherwise triggers an XLA recompile)."""
+        import jax.numpy as jnp
+
+        indices = [int(i) for i in indices]
+        pad = self.batch_size - len(indices)
+        samples = [self.dataset[i] for i in indices]
+        samples += [samples[-1]] * pad
+        batch = collate(samples)
+        if pad:
+            pv = np.array(batch.person_valid)
+            pv[len(indices):] = False
+            batch = batch.replace(person_valid=jnp.asarray(pv))
+        if self.with_eig:
+            from ..train.losses import prepare_eig_inputs
+            e_hat, e_count = prepare_eig_inputs(
+                np.asarray(batch.social_group_id),
+                np.asarray(batch.person_valid), self.eig_max_vecs)
+            batch = batch.replace(e_hat=jnp.asarray(e_hat),
+                                  e_count=jnp.asarray(e_count))
+        return batch
 
     def steps_per_epoch(self) -> int:
         n_batches = len(self.dataset) // self.batch_size if self.drop_last \
@@ -56,7 +85,7 @@ class DataPipeline:
 
         if self.prefetch <= 0:
             for b in my_batches:
-                yield collate([self.dataset[int(i)] for i in b])
+                yield self._make_batch(b)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -67,7 +96,7 @@ class DataPipeline:
                 for b in my_batches:
                     if stop.is_set():
                         return
-                    q.put(collate([self.dataset[int(i)] for i in b]))
+                    q.put(self._make_batch(b))
             finally:
                 q.put(None)
 

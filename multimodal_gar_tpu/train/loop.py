@@ -50,8 +50,12 @@ def run_training(cfg: Config, workdir: str,
     val_ds = val_ds or JRDBActDataset(cfg.data, "test", training=False,
                                       rulebook_caps=caps)
 
+    any_eig = any(stage.loss == "L_g" for stage in cfg.train.stages)
     train_pipe = DataPipeline(train_ds, cfg.train.batch_size,
-                              shuffle=cfg.train.shuffle, seed=cfg.train.seed)
+                              shuffle=cfg.train.shuffle, seed=cfg.train.seed,
+                              with_eig=any_eig)
+    # drop_last=False + in-pipeline padding: the remainder batch is padded to
+    # the full batch shape, so eval compiles exactly ONE program
     val_pipe = DataPipeline(val_ds, cfg.train.batch_size, shuffle=False,
                             drop_last=False)
 
@@ -110,14 +114,11 @@ def run_training(cfg: Config, workdir: str,
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 if needs_eig:
-                    import numpy as np
-
-                    from .losses import prepare_eig_inputs
-                    e_hat, e_count = prepare_eig_inputs(
-                        np.asarray(batch.social_group_id),
-                        np.asarray(batch.person_valid))
+                    # eig inputs are precomputed in the pipeline's producer
+                    # thread (DataPipeline(with_eig=True))
                     state, step_metrics = train_step(
-                        state, batch, rng, e_hat=e_hat, e_count=e_count)
+                        state, batch, rng,
+                        e_hat=batch.e_hat, e_count=batch.e_count)
                 else:
                     state, step_metrics = train_step(state, batch, rng)
                 global_step += 1

@@ -31,6 +31,10 @@ class Batch:
     # host-built sparse-conv rulebook (data/rulebook.py): dict of (B, ...)
     # arrays; None -> index structures are built on device
     rulebook: Optional[dict] = None
+    # spectral-loss inputs, precomputed in the pipeline's producer thread
+    # when the configured loss needs them (train/losses.py prepare_eig_inputs)
+    e_hat: Optional[jnp.ndarray] = None     # (B, max_vecs, N) float32
+    e_count: Optional[jnp.ndarray] = None   # (B,) int32
 
 
 @flax.struct.dataclass

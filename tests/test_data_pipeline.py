@@ -106,6 +106,37 @@ def test_pipeline_batches_and_sharding(mini_jrdb):
     assert len(s0) == 2 and len(s1) == 2
 
 
+def test_remainder_batch_padded_to_fixed_shape(mini_jrdb):
+    """drop_last=False: the remainder batch is padded to batch_size with
+    all-invalid rows — one compiled shape per run (VERDICT item 10)."""
+    ds = JRDBActDataset(_data_cfg(mini_jrdb), split="train")
+    assert len(ds) == 8
+    pipe = DataPipeline(ds, batch_size=3, shuffle=False, drop_last=False,
+                        prefetch=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        assert b.images.shape[0] == 3
+    last = batches[-1]
+    pv = np.asarray(last.person_valid)
+    assert pv[0].any() and pv[1].any()   # the 2 real samples (8 = 3+3+2)
+    assert not pv[2:].any()              # padded duplicate is all-invalid
+
+
+def test_pipeline_eig_precompute(mini_jrdb):
+    """with_eig=True attaches e_hat/e_count identical to the host helper."""
+    from multimodal_gar_tpu.train.losses import prepare_eig_inputs
+    ds = JRDBActDataset(_data_cfg(mini_jrdb), split="train")
+    pipe = DataPipeline(ds, batch_size=2, shuffle=False, prefetch=1,
+                        with_eig=True)
+    batch = next(iter(pipe.epoch(0)))
+    assert batch.e_hat is not None and batch.e_count is not None
+    e_hat, e_count = prepare_eig_inputs(
+        np.asarray(batch.social_group_id), np.asarray(batch.person_valid))
+    np.testing.assert_allclose(np.asarray(batch.e_hat), e_hat, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(batch.e_count), e_count)
+
+
 def test_batch_feeds_model(mini_jrdb):
     """Synthetic on-disk dataset -> pipeline -> full MGAR forward."""
     import jax
