@@ -1,17 +1,25 @@
-"""Benchmark: full MGAR inference throughput (clips/sec) on one chip.
+"""Benchmark: MGAR throughput on one chip — eval batch sweep, train step, MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+  - metric/value: best eval clips/sec/chip across the batch sweep (1/2/4/8)
+    at the reference's FULL working point (720x1280x15 frames, 16k voxels,
+    100 actor slots — mil3.yaml).
+  - detail: per-batch eval clips/s, full-res train steps/s (batch 1,
+    grad+Adam+accum), bf16-backbone rerun at the best batch, analytic fwd
+    FLOPs from XLA cost analysis, and the resulting MFU.
 
 Timing methodology: the remote-TPU transport has ~30-100 ms per-call
 round-trip latency and block_until_ready does not reliably await execution,
 so naive dispatch-loop timing is invalid (it "measured" 23 PFLOP/s). Instead
-K forward passes are chained *inside one jit* (each iteration's input depends
-on the previous output, forcing serial execution) with a single scalar
-transfer at the end; per-clip time = (t_K - t_1) / (K - 1).
+K passes are chained *inside one jit* (each iteration's input depends on the
+previous output, forcing serial execution) with a single scalar transfer at
+the end; per-pass time = (t_K - t_1) / (K - 1). The train chain is serialized
+for free: step k's loss depends on step k-1's params.
 
 Baseline: the reference publishes no timing numbers (BASELINE.md); the driver
 target is >=5x clips/sec over a CPU baseline. vs_baseline is the speedup over
-the pinned single-core CPU measurement of this same chained program.
+the pinned single-core CPU measurement of this same chained eval program at
+batch 1 (re-measure with `python bench.py --cpu-baseline`; ~1 h on 1 core).
 """
 from __future__ import annotations
 
@@ -19,19 +27,67 @@ import json
 import time
 from functools import partial
 
-# Pinned single-core CPU baseline of this chained benchmark at the full-res
-# flagship config: 0.0073 clips/s = 137 s/clip (re-measure with
-# `python bench.py --cpu-baseline`; takes ~1 h on the 1-core host).
 CPU_BASELINE_CLIPS_PER_SEC = 0.0073
 
+# Peak bf16 MXU throughput per chip, FLOP/s (public spec sheets).
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def build():
+
+def _peak_flops() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return 197e12  # default: v5e
+
+
+def _serialize(b, s):
+    """Make every branch of the model input data-dependent on scalar s.
+
+    XLA hoists any loop-invariant branch out of the chained loop (observed:
+    perturbing only images let the whole LiDAR path run once, inflating
+    clips/s 10x), so EVERY input the model reads must depend on the previous
+    iteration's output.
+    """
+    z = (0.0 * s).astype(b.images.dtype)
+    return b.replace(images=b.images + z,
+                     voxels=b.voxels + (0.0 * s).astype(b.voxels.dtype),
+                     boxes2d=b.boxes2d + (0.0 * s).astype(b.boxes2d.dtype),
+                     boxes3d=b.boxes3d + (0.0 * s).astype(b.boxes3d.dtype))
+
+
+def build_eval(batch_size: int = 1, dtype: str = "float32"):
+    import jax
+
+    from multimodal_gar_tpu.models import MGAR
+    from multimodal_gar_tpu.utils.testing import flagship_config, synthetic_batch
+
+    cfg = flagship_config(dtype=dtype)
+    batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
+    model = MGAR(cfg)
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    # Parameters as explicit args (NOT a closure): closed-over arrays become
+    # HLO constants re-uploaded by the remote transport every call (~2.4 s).
+    def fn(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    return fn, variables, batch
+
+
+def _chain_eval(fn):
     import jax
     import jax.numpy as jnp
-
-    from __graft_entry__ import entry
-
-    fn, (variables, batch) = entry()
 
     @partial(jax.jit, static_argnames=("k",))
     def chained(variables, batch, k):
@@ -39,36 +95,91 @@ def build():
             b, acc = carry
             out = fn(variables, b)
             s = out.card[0, 0]
-            # serialize: EVERY branch input must depend on the previous
-            # output, or XLA hoists that branch out of the loop as
-            # loop-invariant (observed: perturbing only images let the whole
-            # LiDAR path run once, inflating clips/s 10x)
-            b = b.replace(images=b.images + 0.0 * s,
-                          voxels=b.voxels + 0.0 * s,
-                          boxes2d=b.boxes2d + 0.0 * s,
-                          boxes3d=b.boxes3d + 0.0 * s)
-            return (b, acc + s)
+            return (_serialize(b, s), acc + s)
 
         _, acc = jax.lax.fori_loop(0, k, body, (batch, jnp.float32(0)))
         return acc
 
-    return chained, variables, batch
+    return chained
 
-
-def _timed(chained, variables, batch, k: int, iters: int = 3) -> float:
-    float(chained(variables, batch, k))      # compile + warm
+def _timed(chained, args, k: int, iters: int = 3) -> float:
+    float(chained(*args, k))      # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(chained(variables, batch, k))  # scalar transfer forces completion
+        float(chained(*args, k))  # scalar transfer forces completion
     return (time.perf_counter() - t0) / iters
 
 
-def run(k: int = 40) -> float:
-    chained, variables, batch = build()
-    t1 = _timed(chained, variables, batch, 1)
-    tk = _timed(chained, variables, batch, k)
-    per_clip = max((tk - t1) / (k - 1), 1e-9)
-    return batch.images.shape[0] / per_clip
+def eval_throughput(batch_size: int, dtype: str = "float32",
+                    k: int | None = None) -> float:
+    """clips/sec at the flagship config; raises on OOM."""
+    fn, variables, batch = build_eval(batch_size, dtype)
+    chained = _chain_eval(fn)
+    if k is None:
+        k = max(8, 40 // batch_size)
+    t1 = _timed(chained, (variables, batch), 1)
+    tk = _timed(chained, (variables, batch), k)
+    per_call = max((tk - t1) / (k - 1), 1e-9)
+    return batch_size / per_call
+
+
+def fwd_flops(batch_size: int = 1) -> float | None:
+    """Analytic forward FLOPs for one eval call from XLA cost analysis."""
+    import jax
+    fn, variables, batch = build_eval(batch_size)
+    try:
+        cost = jax.jit(fn).lower(variables, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def train_throughput(batch_size: int = 1, k: int = 8) -> float:
+    """Full-res train steps/sec: forward+backward+Adam (accum-8 MultiSteps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_gar_tpu.models import MGAR
+    from multimodal_gar_tpu.train.train_state import (create_train_state,
+                                                      make_train_step)
+    from multimodal_gar_tpu.utils.testing import flagship_config, synthetic_batch
+
+    cfg = flagship_config()
+    batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
+    model = MGAR(cfg)
+    state, tx = create_train_state(cfg, model, batch, jax.random.PRNGKey(0),
+                                   cfg.train.stages[0], steps_per_epoch=64)
+    step = make_train_step(model, tx, cfg.train.stages[0].loss)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chained(state, batch, rng, k):
+        def body(i, carry):
+            st, b = carry
+            st, metrics = step(st, b, rng)
+            return (st, _serialize(b, metrics["loss"]))
+
+        st, _ = jax.lax.fori_loop(0, k, body, (state, batch))
+        # depend on the final optimizer update so it cannot be dead-code'd
+        leaves = jax.tree_util.tree_leaves(st.params)
+        return sum(jnp.sum(l.ravel()[:1]) for l in leaves) + st.step
+
+    rng = jax.random.PRNGKey(1)
+    t1 = _timed(chained, (state, batch, rng), 1, iters=2)
+    tk = _timed(chained, (state, batch, rng), k, iters=2)
+    per_step = max((tk - t1) / (k - 1), 1e-9)
+    return 1.0 / per_step
+
+
+def _try(fn, *args, **kw):
+    try:
+        return fn(*args, **kw)
+    except Exception as e:  # OOM on large batches, missing cost analysis, ...
+        import sys
+        print(f"bench: {fn.__name__}{args} failed: {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+        return None
 
 
 def main():
@@ -76,15 +187,39 @@ def main():
     if "--cpu-baseline" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        cps = run(k=4)
+        cps = eval_throughput(1, k=4)
         print(f"cpu baseline clips/s: {cps:.4f}")
         return
-    cps = run()
+
+    quick = "--quick" in sys.argv
+    sweep = {}
+    for b in ([1] if quick else [1, 2, 4, 8]):
+        sweep[str(b)] = _try(eval_throughput, b)
+
+    measured = {int(k): v for k, v in sweep.items() if v}
+    best_b = max(measured, key=measured.get)
+    best = measured[best_b]
+
+    detail = {"eval_clips_per_sec": sweep, "best_batch": best_b}
+    if not quick:
+        detail["eval_bf16_clips_per_sec_best_batch"] = _try(
+            eval_throughput, best_b, "bfloat16")
+        detail["train_steps_per_sec_b1_fullres"] = _try(train_throughput, 1)
+        flops = _try(fwd_flops, 1)
+        if flops:
+            peak = _peak_flops()
+            detail["fwd_flops_per_clip"] = flops
+            detail["eval_mfu_vs_bf16_peak"] = round(
+                flops * measured.get(1, best) / peak, 4)
+    import jax
+    detail["device"] = jax.devices()[0].device_kind
+
     print(json.dumps({
         "metric": "clips_per_sec_per_chip",
-        "value": round(cps, 4),
+        "value": round(best, 4),
         "unit": "clips/s",
-        "vs_baseline": round(cps / CPU_BASELINE_CLIPS_PER_SEC, 2),
+        "vs_baseline": round(best / CPU_BASELINE_CLIPS_PER_SEC, 2),
+        "detail": detail,
     }))
 
 

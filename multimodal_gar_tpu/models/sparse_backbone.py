@@ -91,12 +91,21 @@ class SubMConv3d(nn.Module):
 
 def _downsample_shape(shape, kernel_size, stride, padding):
     return tuple(
-        (d + 2 * p - kernel_size) // s + 1
-        for d, s, p in zip(shape, _tup3(stride), _tup3(padding)))
+        (d + 2 * p - k) // s + 1
+        for d, k, s, p in zip(shape, _tup3(kernel_size), _tup3(stride),
+                              _tup3(padding)))
 
 
 def _tup3(v):
     return (v, v, v) if isinstance(v, int) else tuple(v)
+
+
+def _kernel_offsets_aniso(kernel_size):
+    """(prod(K), 3) zyx tap offsets for a possibly-anisotropic kernel."""
+    kz, ky, kx = _tup3(kernel_size)
+    zz, yy, xx = jnp.meshgrid(jnp.arange(kz), jnp.arange(ky), jnp.arange(kx),
+                              indexing="ij")
+    return jnp.stack([zz.ravel(), yy.ravel(), xx.ravel()], -1).astype(jnp.int32)
 
 
 def _downsample_active_set(coords, valid, in_shape, out_shape, kernel_size,
@@ -110,9 +119,7 @@ def _downsample_active_set(coords, valid, in_shape, out_shape, kernel_size,
     """
     s = jnp.asarray(_tup3(stride), jnp.int32)
     p = jnp.asarray(_tup3(padding), jnp.int32)
-    k = jnp.arange(kernel_size)
-    kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
-    koffs = jnp.stack([kz.ravel(), ky.ravel(), kx.ravel()], -1).astype(jnp.int32)
+    koffs = _kernel_offsets_aniso(kernel_size)
 
     def per_item(c, v):
         num = c[:, None, :] + p[None, None, :] - koffs[None, :, :]   # (M, K3, 3)
@@ -140,7 +147,7 @@ class SparseConv3dDown(nn.Module):
     derivation and gather map are free; otherwise both are built on-device.
     """
     out_channels: int
-    kernel_size: int = 3
+    kernel_size: Any = 3        # int or (kz, ky, kx)
     stride: Any = 2
     padding: Any = 1
     max_out_voxels: int = 16000
@@ -149,7 +156,8 @@ class SparseConv3dDown(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor,
                  precomputed: tuple | None = None) -> SparseTensor:
-        k3 = self.kernel_size ** 3
+        kz, ky, kx = _tup3(self.kernel_size)
+        k3 = kz * ky * kx
         cin = st.features.shape[-1]
         w = self.param("kernel", nn.initializers.kaiming_normal(),
                        (k3, cin, self.out_channels))
@@ -168,10 +176,7 @@ class SparseConv3dDown(nn.Module):
 
             s = jnp.asarray(_tup3(self.stride), jnp.int32)
             p = jnp.asarray(_tup3(self.padding), jnp.int32)
-            k = jnp.arange(self.kernel_size)
-            kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
-            koffs = jnp.stack([kz.ravel(), ky.ravel(), kx.ravel()],
-                              -1).astype(jnp.int32)
+            koffs = _kernel_offsets_aniso(self.kernel_size)
 
             def gather_item(in_c, in_v, in_f, oc, ov):
                 table = vox.build_lookup(in_c, in_v, st.spatial_shape)

@@ -44,6 +44,28 @@ def tiny_config(num_people: int = 8, num_frames: int = 3,
     return dataclasses.replace(cfg, data=data, model=model)
 
 
+def flagship_config(dtype: str = "float32") -> Config:
+    """The reference's full working point (mil3.yaml): 720x1280 panorama,
+    15 frames, 100 actor slots, 16k voxels over a 200x200x50 m range.
+
+    Shared by __graft_entry__.entry() and bench.py so the compile-checked
+    model and the benchmarked model are identical.
+    """
+    cfg = Config()
+    pc = PointCloudConfig(
+        num_points=35000,
+        range=(-100.0, -100.0, -25.0, 100.0, 100.0, 25.0),
+        voxel=VoxelizationConfig((0.1, 0.1, 1.25), 5, 16000, 16000),
+    )
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, image_size=(720, 1280), num_frames=15, num_boxes=100,
+        point_cloud=pc))
+    return dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, dtype=dtype, lidar=dataclasses.replace(
+            cfg.model.lidar,
+            max_voxels_per_stage=(16000, 16000, 8000, 4000))))
+
+
 def synthetic_batch(cfg: Config, batch_size: int = 1, seed: int = 0,
                     n_valid: int | None = None) -> Batch:
     """Random but internally consistent padded batch."""
