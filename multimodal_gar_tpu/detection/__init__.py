@@ -9,6 +9,11 @@ RoI heads, post-processing, and the assembled detectors.
 from .detectors import (DetBatch, DetectorConfig, available_detectors,
                         build_detector, default_config)
 from .post import NMSConfig, post_processing
+from . import roi_detectors as _roi_detectors   # registers two-stage models
+from . import point_rcnn as _point_rcnn         # registers PointRCNN
+from . import parta2 as _parta2                 # registers PartA2
+from . import voxelnext as _voxelnext           # registers VoxelNeXt
+from . import pv_rcnn_pp as _pv_rcnn_pp         # registers PV-RCNN++
 
 __all__ = ["DetBatch", "DetectorConfig", "available_detectors",
            "build_detector", "default_config", "NMSConfig",
