@@ -14,6 +14,7 @@ from . import point_rcnn as _point_rcnn         # registers PointRCNN
 from . import parta2 as _parta2                 # registers PartA2
 from . import voxelnext as _voxelnext           # registers VoxelNeXt
 from . import pv_rcnn_pp as _pv_rcnn_pp         # registers PV-RCNN++
+from . import caddn as _caddn                   # registers CaDDN
 
 __all__ = ["DetBatch", "DetectorConfig", "available_detectors",
            "build_detector", "default_config", "NMSConfig",

@@ -60,6 +60,11 @@ class DetBatch:
     rulebook: Optional[Dict[str, jnp.ndarray]] = None
     points: Optional[jnp.ndarray] = None        # (B, N, 4+) raw points
     point_valid: Optional[jnp.ndarray] = None   # (B, N) bool
+    # camera-based detectors (CaDDN)
+    images: Optional[jnp.ndarray] = None        # (B, H, W, 3)
+    lidar_to_cam: Optional[jnp.ndarray] = None  # (B, 4, 4)
+    cam_to_img: Optional[jnp.ndarray] = None    # (B, 3, 4)
+    depth_maps: Optional[jnp.ndarray] = None    # (B, H, W) GT depth
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,269 @@
+"""KITTI object-detection AP evaluation (R40), host-side numpy.
+
+Capability parity with the reference's vendored KITTI eval suite
+(pcdet/datasets/kitti/kitti_object_eval_python/eval.py, 808 LoC numba;
+SURVEY.md §2.2 row 19), re-implemented from the published KITTI protocol:
+
+  - three metrics: 2D bbox (image), BEV (rotated), 3D (rotated) IoU;
+  - three difficulties with min-height / truncation / occlusion gating
+    (difficulty lives on the GT objects, data/kitti.py:KittiObject);
+  - class-specific min overlaps (Car 0.7, Ped/Cyc 0.5);
+  - "similar" classes (Van~Car, Person_sitting~Pedestrian) and DontCare
+    regions count as ignored — they neither score nor penalize;
+  - R40 interpolated AP: mean precision at recall 1/40 .. 40/40, with score
+    thresholds taken from the sorted TP scores at those recall fractions.
+
+The greedy per-image assignment mirrors the devkit: each valid GT takes the
+highest-overlap unassigned detection above min_overlap; detections matched
+to ignored GTs or DontCare areas are neither TP nor FP.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MIN_OVERLAPS = {"Car": 0.7, "Van": 0.7, "Truck": 0.7,
+                "Pedestrian": 0.5, "Person_sitting": 0.5, "Cyclist": 0.5}
+SIMILAR = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
+N_SAMPLE_PTS = 41
+
+
+def bbox_iou_2d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) image-plane IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter,
+                              1e-9)
+
+
+def _rect_corners(box: np.ndarray) -> np.ndarray:
+    """(7,) lidar box -> (4, 2) BEV corners."""
+    dx, dy = box[3] / 2, box[4] / 2
+    # counter-clockwise winding (the Sutherland-Hodgman inside test requires it)
+    corners = np.array([[dx, dy], [-dx, dy], [-dx, -dy], [dx, -dy]])
+    c, s = np.cos(box[6]), np.sin(box[6])
+    rot = np.array([[c, -s], [s, c]])
+    return corners @ rot.T + box[:2]
+
+
+def _cross2(a: np.ndarray, b: np.ndarray) -> float:
+    return float(a[0] * b[1] - a[1] * b[0])
+
+
+def _polygon_clip(subject: np.ndarray, clip: np.ndarray) -> float:
+    """Area of intersection of two convex polygons (Sutherland-Hodgman).
+    Both polygons must be wound counter-clockwise."""
+    poly = list(subject)
+    for i in range(len(clip)):
+        p1, p2 = clip[i], clip[(i + 1) % len(clip)]
+        if not poly:
+            return 0.0
+        edge = p2 - p1
+        new_poly = []
+        prev = poly[-1]
+        prev_in = _cross2(edge, prev - p1) >= 0
+        for cur in poly:
+            cur_in = _cross2(edge, cur - p1) >= 0
+            if cur_in != prev_in:
+                d = cur - prev
+                denom = _cross2(edge, d)
+                t = _cross2(edge, p1 - prev) / denom if abs(denom) > 1e-12 \
+                    else 0.0
+                new_poly.append(prev + t * d)
+            if cur_in:
+                new_poly.append(cur)
+            prev, prev_in = cur, cur_in
+        poly = new_poly
+    if len(poly) < 3:
+        return 0.0
+    pts = np.asarray(poly)
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def bev_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 7) x (M, 7) rotated BEV IoU (lidar boxes)."""
+    out = np.zeros((len(a), len(b)), np.float32)
+    ca = [_rect_corners(x) for x in a]
+    cb = [_rect_corners(x) for x in b]
+    for i in range(len(a)):
+        for j in range(len(b)):
+            inter = _polygon_clip(ca[i], cb[j])
+            union = a[i, 3] * a[i, 4] + b[j, 3] * b[j, 4] - inter
+            out[i, j] = inter / max(union, 1e-9)
+    return out
+
+
+def iou_3d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 7) x (M, 7) rotated 3D IoU (lidar boxes, z = center)."""
+    out = np.zeros((len(a), len(b)), np.float32)
+    ca = [_rect_corners(x) for x in a]
+    cb = [_rect_corners(x) for x in b]
+    for i in range(len(a)):
+        for j in range(len(b)):
+            inter_bev = _polygon_clip(ca[i], cb[j])
+            za1, za2 = a[i, 2] - a[i, 5] / 2, a[i, 2] + a[i, 5] / 2
+            zb1, zb2 = b[j, 2] - b[j, 5] / 2, b[j, 2] + b[j, 5] / 2
+            zo = max(0.0, min(za2, zb2) - max(za1, zb1))
+            inter = inter_bev * zo
+            union = a[i, 3] * a[i, 4] * a[i, 5] \
+                + b[j, 3] * b[j, 4] * b[j, 5] - inter
+            out[i, j] = inter / max(union, 1e-9)
+    return out
+
+
+@dataclasses.dataclass
+class FrameAnnotations:
+    """One frame's GT + detections for one class evaluation."""
+    gt_boxes: np.ndarray          # (G, 7) lidar or (G, 4) bbox metric
+    gt_names: List[str]
+    gt_difficulty: np.ndarray     # (G,) int (-1 = unusable)
+    det_boxes: np.ndarray         # (D, 7|4)
+    det_names: List[str]
+    det_scores: np.ndarray        # (D,)
+
+
+def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
+    """-> (gt_care (G,), gt_ignored (G,), det_care (D,)) per devkit
+    clean_data: care = scored; ignored = overlaps allowed but not scored."""
+    care_g, ign_g = [], []
+    for name, diff in zip(frame.gt_names, frame.gt_difficulty):
+        if name == cls and 0 <= diff <= difficulty:
+            care_g.append(True)
+            ign_g.append(False)
+        elif name == cls or name in SIMILAR.get(cls, ()) \
+                or name == "DontCare":
+            care_g.append(False)
+            ign_g.append(True)
+        else:
+            care_g.append(False)
+            ign_g.append(False)
+    det_care = np.asarray([n == cls for n in frame.det_names], bool)
+    return np.asarray(care_g, bool), np.asarray(ign_g, bool), det_care
+
+
+def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
+                 det_care, min_overlap: float, thresh: float):
+    """Greedy matching at one score threshold -> (tp, fp, fn)."""
+    g, d = iou.shape
+    det_on = det_care & (scores >= thresh)
+    assigned = np.zeros(d, bool)
+    tp = fn = 0
+    for i in range(g):
+        if not care_g[i]:
+            continue
+        best, best_j = min_overlap, -1
+        for j in range(d):
+            if not det_on[j] or assigned[j]:
+                continue
+            if iou[i, j] >= best:
+                best, best_j = iou[i, j], j
+        if best_j >= 0:
+            assigned[best_j] = True
+            tp += 1
+        else:
+            fn += 1
+    # detections overlapping ignored GT (or DontCare) are neither TP nor FP
+    ign_hit = np.zeros(d, bool)
+    for j in range(d):
+        if det_on[j] and not assigned[j]:
+            for i in range(g):
+                if ign_g[i] and iou[i, j] >= min_overlap:
+                    ign_hit[j] = True
+                    break
+    fp = int((det_on & ~assigned & ~ign_hit).sum())
+    return tp, fp, fn
+
+
+def _tp_scores(iou, scores, care_g, det_care, min_overlap):
+    """Scores of detections matched to care GTs at threshold 0 (devkit
+    compute_statistics with compute_fp=False) — drives threshold selection."""
+    g, d = iou.shape
+    assigned = np.zeros(d, bool)
+    out = []
+    for i in range(g):
+        if not care_g[i]:
+            continue
+        best, best_j = min_overlap, -1
+        for j in range(d):
+            if not det_care[j] or assigned[j]:
+                continue
+            if iou[i, j] >= best:
+                best, best_j = iou[i, j], j
+        if best_j >= 0:
+            assigned[best_j] = True
+            out.append(scores[best_j])
+    return out
+
+
+def _iou_for(frames: Sequence[FrameAnnotations], metric: str):
+    fn = {"bbox": bbox_iou_2d, "bev": lambda a, b: bev_iou(a, b),
+          "3d": iou_3d}[metric]
+    return [fn(f.gt_boxes, f.det_boxes) for f in frames]
+
+
+def eval_class(frames: Sequence[FrameAnnotations], cls: str,
+               difficulty: int, metric: str,
+               min_overlap: Optional[float] = None) -> Dict[str, float]:
+    """AP_R40 for one (class, difficulty, metric)."""
+    mo = min_overlap if min_overlap is not None else MIN_OVERLAPS[cls]
+    ious = _iou_for(frames, metric)
+    parts = [_classify(f, cls, difficulty) for f in frames]
+    total_gt = sum(int(c.sum()) for c, _, _ in parts)
+    if total_gt == 0:
+        return {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS),
+                "recall": np.zeros(N_SAMPLE_PTS)}
+
+    all_tp_scores = []
+    for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
+        all_tp_scores += _tp_scores(iou, f.det_scores, care_g, det_care, mo)
+    # devkit get_thresholds: score at each crossed recall step
+    all_tp_scores = np.sort(all_tp_scores)[::-1]
+    thresholds = []
+    cur_recall = 0.0
+    for i, s in enumerate(all_tp_scores):
+        l_rec = (i + 1) / total_gt
+        r_rec = (i + 2) / total_gt if i < len(all_tp_scores) - 1 else l_rec
+        if (r_rec - cur_recall) < (cur_recall - l_rec) \
+                and i < len(all_tp_scores) - 1:
+            continue
+        thresholds.append(s)
+        cur_recall += 1.0 / (N_SAMPLE_PTS - 1)
+    prec = np.zeros(N_SAMPLE_PTS)
+    rec = np.zeros(N_SAMPLE_PTS)
+    for k, t in enumerate(thresholds):
+        tp = fp = fn = 0
+        for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
+            a, b, c = _frame_stats(iou, f.det_scores, care_g, ign_g,
+                                   det_care, mo, t)
+            tp, fp, fn = tp + a, fp + b, fn + c
+        prec[k] = tp / max(tp + fp, 1)
+        rec[k] = tp / max(tp + fn, 1)
+    # right-max interpolation then R40 mean (skip the recall-0 point)
+    for k in range(N_SAMPLE_PTS - 2, -1, -1):
+        prec[k] = max(prec[k], prec[k + 1])
+    ap = float(prec[1:].sum() / (N_SAMPLE_PTS - 1))
+    return {"ap": ap * 100.0, "precision": prec, "recall": rec}
+
+
+def evaluate(frames: Sequence[FrameAnnotations],
+             classes: Sequence[str] = ("Car", "Pedestrian", "Cyclist"),
+             metrics: Sequence[str] = ("bev", "3d"),
+             difficulties: Sequence[int] = (0, 1, 2)) -> Dict[str, float]:
+    """Full result table {"<cls>_<metric>_<difficulty>": AP_R40}."""
+    out = {}
+    for cls in classes:
+        for metric in metrics:
+            for d in difficulties:
+                key = f"{cls}_{metric}_{['easy','moderate','hard'][d]}"
+                out[key] = eval_class(frames, cls, d, metric)["ap"]
+    return out

@@ -205,6 +205,7 @@ class SparseConvBlock(nn.Module):
     conv_type: str = "subm"     # subm | spconv
     stride: Any = 1
     padding: Any = 1
+    kernel_size: Any = 3        # int or (kz, ky, kx); strided convs only
     max_out_voxels: int = 16000
     dtype: Any = jnp.float32
 
@@ -216,7 +217,9 @@ class SparseConvBlock(nn.Module):
             st = SubMConv3d(self.out_channels, dtype=self.dtype,
                             name="conv")(st, neighbor_idx)
         elif self.conv_type == "spconv":
-            st = SparseConv3dDown(self.out_channels, stride=self.stride,
+            st = SparseConv3dDown(self.out_channels,
+                                  kernel_size=self.kernel_size,
+                                  stride=self.stride,
                                   padding=self.padding,
                                   max_out_voxels=self.max_out_voxels,
                                   dtype=self.dtype, name="conv")(st, precomputed)
