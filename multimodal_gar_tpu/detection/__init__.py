@@ -15,6 +15,7 @@ from . import parta2 as _parta2                 # registers PartA2
 from . import voxelnext as _voxelnext           # registers VoxelNeXt
 from . import pv_rcnn_pp as _pv_rcnn_pp         # registers PV-RCNN++
 from . import caddn as _caddn                   # registers CaDDN
+from . import mppnet as _mppnet                 # registers MPPNet / E2E
 
 __all__ = ["DetBatch", "DetectorConfig", "available_detectors",
            "build_detector", "default_config", "NMSConfig",

@@ -16,7 +16,7 @@ eps=1e-3; running stats use flax's momentum convention.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

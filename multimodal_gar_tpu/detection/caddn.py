@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..train import loss_lib
 from .bev import BaseBEVBackbone, Conv2DCollapse
 from .dense_heads import (AnchorHeadSingle, anchor_head_loss,
                           decode_anchor_preds)

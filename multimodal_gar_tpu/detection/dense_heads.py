@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

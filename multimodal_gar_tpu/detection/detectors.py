@@ -27,9 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.sparse_backbone import (SparseConv3dDown, SparseTensor,
                                       VoxelBackbone8x)
@@ -209,10 +207,12 @@ class AnchorDetector(nn.Module):
 
     def loss(self, preds: Dict[str, jnp.ndarray], batch: DetBatch
              ) -> Dict[str, jnp.ndarray]:
-        return anchor_head_loss(preds, anchor_set_for(self.cfg),
-                                _coder(self.cfg), self.cfg.head,
-                                batch.gt_boxes, batch.gt_classes,
-                                batch.gt_valid)
+        losses = anchor_head_loss(preds, anchor_set_for(self.cfg),
+                                  _coder(self.cfg), self.cfg.head,
+                                  batch.gt_boxes, batch.gt_classes,
+                                  batch.gt_valid)
+        losses["loss"] = losses["rpn_loss"]
+        return losses
 
     def predict(self, preds: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         cls, boxes = decode_anchor_preds(preds, anchor_set_for(self.cfg),
@@ -233,10 +233,12 @@ class CenterPointDetector(nn.Module):
 
     def loss(self, preds, batch: DetBatch) -> Dict[str, jnp.ndarray]:
         c = self.cfg
-        return center_head_loss(preds, c.center_head, c.grid_size,
-                                c.voxel_size, c.point_cloud_range,
-                                batch.gt_boxes, batch.gt_classes,
-                                batch.gt_valid)
+        losses = center_head_loss(preds, c.center_head, c.grid_size,
+                                  c.voxel_size, c.point_cloud_range,
+                                  batch.gt_boxes, batch.gt_classes,
+                                  batch.gt_valid)
+        losses["loss"] = losses["center_loss"]
+        return losses
 
     def predict(self, preds) -> Dict[str, jnp.ndarray]:
         c = self.cfg

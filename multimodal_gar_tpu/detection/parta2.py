@@ -20,14 +20,12 @@ from typing import Dict, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import boxes3d
 from ..ops.geometry import rotate_points_along_z
 from ..ops.voxel import get_voxel_centers
 from ..train import loss_lib
-from .box_coders import ResidualCoder
-from .dense_heads import AnchorHeadSingle, anchor_head_loss
+from .dense_heads import AnchorHeadSingle
 from .detectors import (DetBatch, DetectorConfig, SparseOutConv,
                         anchor_set_for, register_detector, _coder)
 from .bev import BaseBEVBackbone, sparse_to_dense_bev

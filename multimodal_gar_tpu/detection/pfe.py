@@ -15,7 +15,7 @@ from ops/neighbor.py, and invalid supports are masked rather than sliced.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ MLP stacks (the reference's Conv1d(k=1) == Dense).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

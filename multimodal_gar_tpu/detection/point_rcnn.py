@@ -26,8 +26,8 @@ from .detectors import DetBatch, DetectorConfig, register_detector
 from .point_heads import (PointHeadBox, PointHeadConfig, assign_point_targets,
                           point_box_loss, point_cls_loss)
 from .pointnet2 import PointNet2Config, PointNet2MSG, SAModuleMSG, _mlp
-from .roi_detectors import RoIHeadConfig, RefinementMLP, _two_stage_loss, \
-    _two_stage_predict
+from .roi_detectors import (RoIHeadConfig, RefinementMLP,
+                            _two_stage_predict)
 from .roi_heads import (canonical_gt_transform, proposal_layer,
                         sample_rois_for_rcnn)
 from ..ops.geometry import rotate_points_along_z

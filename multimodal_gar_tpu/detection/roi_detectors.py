@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from ..config import (LiDARBackboneConfig, PointCloudConfig,
                       VoxelizationConfig)
 from ..models.roi_grid_pool import ROIGridPool
-from ..ops import boxes3d
 from .box_coders import ResidualCoder
 from .dense_heads import AnchorHeadSingle, anchor_head_loss, decode_anchor_preds
 from .detectors import (DetBatch, DetectorConfig, VoxelDenseTrunk,

@@ -22,9 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.sparse_backbone import (SparseConvBlock, SparseTensor,
-                                      SparseConv3dDown, SubMConv3d,
-                                      _kernel_offsets_aniso, _tup3,
-                                      _neighbor_idx_subm)
+                                      SubMConv3d, _kernel_offsets_aniso,
+                                      _tup3, _neighbor_idx_subm)
 from ..ops import voxel as vox
 
 

@@ -15,9 +15,8 @@ assignment jits and vmaps over the batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

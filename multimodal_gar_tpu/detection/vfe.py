@@ -17,7 +17,7 @@ ops (jnp.unique(size=...), segment_sum/max), so they jit.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

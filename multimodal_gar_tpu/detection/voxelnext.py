@@ -18,18 +18,15 @@ active sites, so this changes no scored location.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.sparse_backbone import SparseConvBlock, SparseTensor
-from ..ops import voxel as vox
 from ..train import loss_lib
-from .dense_heads import CenterHeadConfig, _gaussian_radius
+from .dense_heads import _gaussian_radius
 from .detectors import DetBatch, DetectorConfig, register_detector
 from .sparse_backbones import SparseBasicBlock
 from .vfe import mean_vfe

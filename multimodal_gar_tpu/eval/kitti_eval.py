@@ -20,7 +20,7 @@ to ignored GTs or DontCare areas are neither TP nor FP.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -1,0 +1,94 @@
+"""MPPNet: trajectory linking, geometry encoding, train/predict smoke."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_gar_tpu.detection.mppnet import (MPPNetConfig,
+                                                 MPPNetDetector,
+                                                 MPPNetE2EDetector,
+                                                 corner_proxy_points,
+                                                 generate_trajectory,
+                                                 spherical_coordinate)
+from tests.test_detection import tiny_voxel_cfg
+
+
+def test_corner_proxy_points():
+    rois = jnp.asarray([[1.0, 2.0, 0.5, 4.0, 2.0, 1.5, 0.0]])
+    p = corner_proxy_points(rois)
+    assert p.shape == (1, 9, 3)
+    np.testing.assert_allclose(p[0, 8], [1.0, 2.0, 0.5], atol=1e-6)
+    # corners span the box extent
+    assert np.asarray(p[0, :8, 0]).min() == pytest_approx(-1.0)
+    assert np.asarray(p[0, :8, 0]).max() == pytest_approx(3.0)
+
+
+def pytest_approx(v, tol=1e-5):
+    class _A:
+        def __eq__(self, other):
+            return abs(other - v) < tol
+    return _A()
+
+
+def test_spherical_coordinate_unit():
+    off = jnp.asarray([[0.0, 0.0, 2.0]])
+    s = spherical_coordinate(off, jnp.asarray([2.0]))
+    np.testing.assert_allclose(s[0], [1.0, 1.0, 0.0], atol=1e-5)
+
+
+def test_generate_trajectory_links_nearest():
+    cur = jnp.asarray([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]])
+    prev = jnp.asarray([[[50.0, 0, 0, 4, 2, 1.5, 0],
+                         [0.5, 0.1, 0, 4, 2, 1.5, 0]]])   # (1, P=2, 7)
+    traj = generate_trajectory(cur, prev)
+    assert traj.shape == (2, 1, 7)
+    np.testing.assert_allclose(traj[1, 0, 0], 0.5, atol=1e-6)
+
+
+def _mf_inputs(t=3, n=128, r=6, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([0, -8, -1.5, 0], [16, 8, 1.5, 1],
+                      size=(1, t, n, 4)).astype(np.float32)
+    rois = np.zeros((1, t, r, 7), np.float32)
+    rois[..., 0] = rng.uniform(2, 14, (1, t, r))
+    rois[..., 1] = rng.uniform(-6, 6, (1, t, r))
+    rois[..., 3:6] = rng.uniform(1, 4, (1, t, r, 3))
+    return (jnp.asarray(pts), jnp.ones((1, t, n), bool),
+            jnp.asarray(rois), jnp.ones((1, r), bool))
+
+
+def test_mppnet_train_and_predict():
+    cfg = tiny_voxel_cfg("SECOND")
+    model = MPPNetDetector(cfg, MPPNetConfig(num_frames=3, points_per_roi=16,
+                                             hidden=16, num_heads=2,
+                                             num_layers=1))
+    fp, pv, tr, rv = _mf_inputs()
+
+    @jax.jit
+    def run(fp, pv, tr, rv):
+        variables = model.init(jax.random.PRNGKey(0), fp, pv, tr, rv)
+        return variables, model.apply(variables, fp, pv, tr, rv, train=True)
+
+    variables, preds = run(fp, pv, tr, rv)
+    gt = tr[:, 0, :2] + 0.1
+    losses = model.loss(preds, gt, jnp.ones((1, 2), jnp.int32),
+                        jnp.ones((1, 2), bool))
+    assert jnp.isfinite(losses["loss"]), losses
+
+    out = jax.jit(model.predict)(preds)
+    assert out["boxes"].shape[-1] == 7
+
+
+def test_mppnet_e2e_memory_rolls():
+    cfg = tiny_voxel_cfg("SECOND")
+    mp = MPPNetConfig(num_frames=3, points_per_roi=16, hidden=16,
+                      num_heads=2, num_layers=1)
+    model = MPPNetE2EDetector(cfg, mp)
+    fp, pv, tr, rv = _mf_inputs()
+
+    variables = model.init(jax.random.PRNGKey(0), fp, pv, tr, rv)
+    out1 = model.apply(variables, fp, pv, tr, rv)
+    assert out1["memory"].shape[1] == 3
+    out2 = model.apply(variables, fp, pv, tr, rv, memory=out1["memory"])
+    # newest slot holds the current tokens; the old newest moved to slot 1
+    np.testing.assert_allclose(np.asarray(out2["memory"][:, 1]),
+                               np.asarray(out1["memory"][:, 0]), atol=1e-6)
