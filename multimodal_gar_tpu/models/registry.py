@@ -30,10 +30,18 @@ def available_models():
 
 def build_model(cfg: Config, name: str = "MGAR"):
     """Construct a model by registry name; dataset-derived geometry
-    (voxel grid, ranges) is threaded through cfg.data.point_cloud."""
-    if name not in _REGISTRY:
-        raise KeyError(f"unknown model {name!r}; have {available_models()}")
-    return _REGISTRY[name](cfg)
+    (voxel grid, ranges) is threaded through cfg.data.point_cloud.
+
+    Falls through to the detector-zoo registry (detection/) so a driver can
+    build any of the 15 detector families by name too — the analogue of
+    pcdet's unified build_network (pcdet/models/__init__.py:16)."""
+    if name in _REGISTRY:
+        return _REGISTRY[name](cfg)
+    from ..detection import available_detectors, build_detector
+    if name in available_detectors():
+        return build_detector(name)
+    raise KeyError(f"unknown model {name!r}; have {available_models()} "
+                   f"+ detectors {available_detectors()}")
 
 
 @register("MGAR")
