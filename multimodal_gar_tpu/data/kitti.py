@@ -191,48 +191,9 @@ class KittiDataset:
                   max_gt: int = 50, rulebook_caps=None):
         """Assemble a fixed-shape DetBatch (detection/detectors.py) from
         raw frames: voxelize, pad, build the sparse-conv rulebook."""
-        import jax.numpy as jnp
-
-        from ..detection.detectors import DetBatch
-        from .rulebook import build_rulebook
-        from .voxelizer import Voxelizer
-
-        b = len(indices)
-        nx, ny, nz = [int(round((self.range[i + 3] - self.range[i])
-                                / voxel_size[i])) for i in range(3)]
-        vx = np.zeros((b, max_voxels, max_points_per_voxel, 4), np.float32)
-        vc = np.full((b, max_voxels, 3), -1, np.int32)
-        vn = np.zeros((b, max_voxels), np.int32)
-        vv = np.zeros((b, max_voxels), bool)
-        pts_pad = np.zeros((b, max_points, 4), np.float32)
-        pts_valid = np.zeros((b, max_points), bool)
-        gt = np.zeros((b, max_gt, 7), np.float32)
-        gtc = np.zeros((b, max_gt), np.int32)
-        gtv = np.zeros((b, max_gt), bool)
-        rbs = []
-        caps = rulebook_caps or (max_voxels, max_voxels, max_voxels // 2,
-                                 max_voxels // 4)
-        voxelizer = Voxelizer(voxel_size, self.range, max_points_per_voxel,
-                              max_voxels)
-        for i, idx in enumerate(indices):
-            fr = self.frame(idx)
-            p = fr["points"][:max_points]
-            pts_pad[i, :len(p)] = p
-            pts_valid[i, :len(p)] = True
-            voxels, coords, num = voxelizer(fr["points"])
-            n = len(voxels)
-            vx[i, :n], vc[i, :n], vn[i, :n] = voxels, coords, num
-            vv[i, :n] = True
-            g = fr["gt_boxes"][:max_gt]
-            gt[i, :len(g)] = g
-            gtc[i, :len(g)] = fr["gt_classes"][:max_gt]
-            gtv[i, :len(g)] = True
-            rbs.append(build_rulebook(vc[i], n, (nz + 1, ny, nx), caps))
-        rulebook = {k: jnp.asarray(np.stack([rb[k] for rb in rbs]))
-                    for k in rbs[0]}
-        return DetBatch(
-            voxels=jnp.asarray(vx), voxel_coords=jnp.asarray(vc),
-            voxel_num_points=jnp.asarray(vn), voxel_valid=jnp.asarray(vv),
-            gt_boxes=jnp.asarray(gt), gt_classes=jnp.asarray(gtc),
-            gt_valid=jnp.asarray(gtv), rulebook=rulebook,
-            points=jnp.asarray(pts_pad), point_valid=jnp.asarray(pts_valid))
+        from .detbatch import assemble_det_batch
+        return assemble_det_batch(
+            self, indices, voxel_size, max_voxels,
+            max_points_per_voxel=max_points_per_voxel,
+            max_points=max_points, max_gt=max_gt,
+            rulebook_caps=rulebook_caps, num_features=4)
