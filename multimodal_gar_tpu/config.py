@@ -122,6 +122,13 @@ class LiDARBackboneConfig:
     # neighbor selection (recall ~0.99, much faster on TPU); True = bitwise
     # scan-order parity with the reference voxel_query CUDA kernel.
     voxel_query_exact: bool = False
+    # Per-box spatial cull for the grid-pool voxel query
+    # (ops/voxel.py:voxel_query_boxed): each ROI queries only its
+    # pool_cull_k nearest voxels instead of the full per-scale voxel set.
+    # Exact whenever <= pool_cull_k active voxels lie within reach of the
+    # box (people-sized ROIs occupy a few hundred); 0 disables the cull
+    # and falls back to the dense (R, M) relation.
+    pool_cull_k: int = 512
 
 
 @dataclass

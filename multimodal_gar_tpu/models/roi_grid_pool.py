@@ -64,6 +64,9 @@ class NeighborVoxelPoolLayer(nn.Module):
     stride: int
     pool_method: str = "max_pool"
     exact_query: bool = False      # strict-compat scan-order voxel_query
+    cull_k: int = 0                # >0: per-box culled query (queries must
+    #                                arrive grouped as N boxes x G3 points)
+    query_groups: int = 1          # G3 when cull_k > 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,11 +101,20 @@ class NeighborVoxelPoolLayer(nn.Module):
             q_grid = jnp.floor((q_xyz - pc_min) / vs).astype(jnp.int32) \
                 // self.stride
             q_zyx = q_grid[:, ::-1]
-            idx, empty = vox.voxel_query(
-                None, centers, q_xyz, q_zyx, q_valid, st.spatial_shape,
-                self.query_range, self.radius, self.nsample,
-                voxel_coords=coords, voxel_valid=valid,
-                exact=self.exact_query)
+            if self.cull_k > 0 and not self.exact_query:
+                g3 = self.query_groups
+                idx, empty = vox.voxel_query_boxed(
+                    centers, coords, valid,
+                    q_xyz.reshape(-1, g3, 3), q_zyx.reshape(-1, g3, 3),
+                    q_valid.reshape(-1, g3),
+                    self.query_range, self.radius, self.nsample,
+                    cull_k=self.cull_k)
+            else:
+                idx, empty = vox.voxel_query(
+                    None, centers, q_xyz, q_zyx, q_valid, st.spatial_shape,
+                    self.query_range, self.radius, self.nsample,
+                    voxel_coords=coords, voxel_valid=valid,
+                    exact=self.exact_query)
             grouped_f = feats[idx]                                   # (R, S, C)
             grouped_xyz = centers[idx] - q_xyz[:, None, :]           # (R, S, 3)
             zero = (~empty)[:, None, None].astype(grouped_f.dtype)
@@ -172,6 +184,8 @@ class ROIGridPool(nn.Module):
                 point_cloud_range=self.pc_cfg.range, stride=stride,
                 pool_method=layer_cfg.pool_method,
                 exact_query=getattr(self.cfg, "voxel_query_exact", False),
+                cull_k=getattr(self.cfg, "pool_cull_k", 0),
+                query_groups=g3,
                 dtype=self.dtype,
                 name=f"pool_{layer_cfg.source}",
             )(st, grid_xyz, grid_valid, train)

@@ -73,3 +73,130 @@ def test_voxel_query_empty_ball(rng):
         (1, 1, 1), 1.0, 4, voxel_coords=coords, voxel_valid=valid)
     assert bool(empty[0])
     np.testing.assert_array_equal(np.asarray(idx[0]), 0)
+
+
+def test_voxel_query_boxed_matches_dense(rng):
+    """Per-box culled query == dense fast path when cull_k covers every
+    in-reach voxel (here cull_k == M, unconditionally exact)."""
+    shape = (10, 20, 20)
+    m = 128
+    coords, valid = _random_voxel_set(rng, m, shape, 100)
+    voxel_size = (0.5, 0.5, 0.5)
+    pc_range = (-5.0, -5.0, -2.5, 5.0, 5.0, 2.5)
+    centers = vox.get_voxel_centers(coords, 1, voxel_size, pc_range)
+
+    n_boxes, g3 = 5, 8
+    box_centers = rng.uniform(-3, 3, (n_boxes, 3)).astype(np.float32)
+    offsets = rng.uniform(-0.6, 0.6, (n_boxes, g3, 3)).astype(np.float32)
+    q_xyz = jnp.asarray(box_centers[:, None, :] + offsets)
+    pc_min = jnp.asarray(pc_range[:3])
+    q_grid = jnp.floor((q_xyz.reshape(-1, 3) - pc_min)
+                       / jnp.asarray(voxel_size)).astype(jnp.int32)
+    q_zyx = q_grid[:, ::-1]
+    q_valid = jnp.asarray(rng.uniform(size=n_boxes * g3) < 0.9)
+
+    idx_dense, empty_dense = vox.voxel_query(
+        None, centers, q_xyz.reshape(-1, 3), q_zyx, q_valid, shape,
+        (2, 2, 2), 1.2, 8, voxel_coords=coords, voxel_valid=valid,
+        query_chunk=16, exact=True)
+    idx_boxed, empty_boxed = vox.voxel_query_boxed(
+        centers, coords, valid, q_xyz,
+        q_zyx.reshape(n_boxes, g3, 3), q_valid.reshape(n_boxes, g3),
+        (2, 2, 2), 1.2, 8, cull_k=m)
+    np.testing.assert_array_equal(np.asarray(empty_dense),
+                                  np.asarray(empty_boxed))
+    np.testing.assert_array_equal(np.asarray(idx_dense),
+                                  np.asarray(idx_boxed))
+
+
+def test_voxel_query_boxed_small_cull(rng):
+    """With a tight but sufficient cull (all active voxels near the box),
+    a small cull_k still reproduces the dense result."""
+    shape = (10, 20, 20)
+    voxel_size = (0.5, 0.5, 0.5)
+    pc_range = (-5.0, -5.0, -2.5, 5.0, 5.0, 2.5)
+    # 30 voxels clustered near the origin + 60 far away
+    near = np.stack([rng.integers(4, 6, 30), rng.integers(8, 12, 30),
+                     rng.integers(8, 12, 30)], -1)
+    far = np.stack([rng.integers(0, 2, 60), rng.integers(16, 20, 60),
+                    rng.integers(16, 20, 60)], -1)
+    coords = np.concatenate([near, far]).astype(np.int32)
+    keys = (coords[:, 0] * shape[1] + coords[:, 1]) * shape[2] + coords[:, 2]
+    _, uniq = np.unique(keys, return_index=True)
+    coords = coords[np.sort(uniq)]
+    m = len(coords)
+    coords = jnp.asarray(coords)
+    valid = jnp.ones(m, bool)
+    centers = vox.get_voxel_centers(coords, 1, voxel_size, pc_range)
+
+    g3 = 8
+    q_xyz = jnp.asarray(rng.uniform(-0.8, 0.8, (1, g3, 3)).astype(np.float32))
+    pc_min = jnp.asarray(pc_range[:3])
+    q_grid = jnp.floor((q_xyz.reshape(-1, 3) - pc_min)
+                       / jnp.asarray(voxel_size)).astype(jnp.int32)
+    q_zyx = q_grid[:, ::-1]
+    q_valid = jnp.ones(g3, bool)
+
+    idx_dense, empty_dense = vox.voxel_query(
+        None, centers, q_xyz.reshape(-1, 3), q_zyx, q_valid, shape,
+        (2, 2, 2), 1.2, 8, voxel_coords=coords, voxel_valid=valid,
+        query_chunk=8, exact=True)
+    idx_boxed, empty_boxed = vox.voxel_query_boxed(
+        centers, coords, valid, q_xyz, q_zyx.reshape(1, g3, 3),
+        q_valid.reshape(1, g3), (2, 2, 2), 1.2, 8, cull_k=32)
+    np.testing.assert_array_equal(np.asarray(empty_dense),
+                                  np.asarray(empty_boxed))
+    np.testing.assert_array_equal(np.asarray(idx_dense),
+                                  np.asarray(idx_boxed))
+
+
+def test_roi_grid_pool_cull_matches_dense(rng):
+    """ROIGridPool forward with the per-box cull == the dense query path
+    (same params, same inputs)."""
+    import dataclasses
+
+    import jax
+    from multimodal_gar_tpu.config import (LiDARBackboneConfig,
+                                           PointCloudConfig,
+                                           PoolLayerConfig,
+                                           VoxelizationConfig)
+    from multimodal_gar_tpu.models.roi_grid_pool import ROIGridPool
+    from multimodal_gar_tpu.models.sparse_backbone import (BACKBONE_STRIDES,
+                                                           SparseTensor)
+
+    pc = PointCloudConfig(
+        num_points=512, range=(-8.0, -8.0, -2.5, 8.0, 8.0, 2.5),
+        voxel=VoxelizationConfig((0.25, 0.25, 0.625), 5, 256, 256))
+    lidar = LiDARBackboneConfig(
+        grid_pool_size=3,
+        pool_layers=(
+            PoolLayerConfig("x_conv2", (8, 8), (2, 2, 2), 0.6, 8),
+            PoolLayerConfig("x_conv3", (8, 8), (2, 2, 2), 1.2, 8)),
+        max_voxels_per_stage=(256, 128, 64, 32))
+    nx, ny, nz = pc.grid_size
+
+    ms = {}
+    for name, m, c in (("x_conv2", 128, 8), ("x_conv3", 64, 8)):
+        stride = BACKBONE_STRIDES[name]
+        shape = (nz // stride + 1, ny // stride, nx // stride)
+        coords, valid = _random_voxel_set(rng, m, shape, m - 10)
+        ms[name] = SparseTensor(
+            features=jnp.asarray(
+                rng.normal(size=(1, m, c)).astype(np.float32)),
+            coords=coords[None], valid=valid[None], spatial_shape=shape)
+
+    rois = np.zeros((1, 4, 7), np.float32)
+    rois[0, :, :3] = rng.uniform(-4, 4, (4, 3))
+    rois[0, :, 3:6] = rng.uniform(0.8, 2.0, (4, 3))
+    rois[0, :, 6] = rng.uniform(-np.pi, np.pi, 4)
+    roi_valid = jnp.asarray([[True, True, True, False]])
+    rois = jnp.asarray(rois)
+
+    outs = {}
+    for cull_k in (0, 128):
+        cfg = dataclasses.replace(lidar, pool_cull_k=cull_k)
+        pool = ROIGridPool(cfg, pc)
+        variables = pool.init(jax.random.PRNGKey(0), ms, rois, roi_valid)
+        pooled, _ = pool.apply(variables, ms, rois, roi_valid, train=False)
+        outs[cull_k] = np.asarray(pooled)
+    np.testing.assert_allclose(outs[0], outs[128], atol=1e-5)
