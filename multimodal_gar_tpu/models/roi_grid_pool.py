@@ -103,20 +103,36 @@ class NeighborVoxelPoolLayer(nn.Module):
             q_zyx = q_grid[:, ::-1]
             if self.cull_k > 0 and not self.exact_query:
                 g3 = self.query_groups
-                idx, empty = vox.voxel_query_boxed(
+                n_boxes = q_xyz.shape[0] // g3
+                _, empty, cand, local = vox.voxel_query_boxed(
                     centers, coords, valid,
                     q_xyz.reshape(-1, g3, 3), q_zyx.reshape(-1, g3, 3),
                     q_valid.reshape(-1, g3),
                     self.query_range, self.radius, self.nsample,
-                    cull_k=self.cull_k)
+                    cull_k=self.cull_k, return_local=True)
+                # gather-as-GEMM: random row-gathers are slow on TPU, so
+                # gather each box's K candidates once, then pull the
+                # selected neighbors through a one-hot matmul on the MXU
+                # (bitwise-identical to feats[idx])
+                kk = cand.shape[1]
+                s = local.shape[1]
+                cand_rows = jnp.concatenate(
+                    [feats[cand], centers[cand]], axis=-1)       # (N, K, C+3)
+                oh = (local.reshape(n_boxes, g3 * s)[:, :, None]
+                      == jnp.arange(kk)[None, None, :]).astype(feats.dtype)
+                grouped = jnp.einsum("nqk,nkc->nqc", oh, cand_rows)
+                grouped = grouped.reshape(-1, s, grouped.shape[-1])
+                grouped_f = grouped[..., :feats.shape[-1]]           # (R, S, C)
+                grouped_xyz = (grouped[..., feats.shape[-1]:]
+                               - q_xyz[:, None, :])                  # (R, S, 3)
             else:
                 idx, empty = vox.voxel_query(
                     None, centers, q_xyz, q_zyx, q_valid, st.spatial_shape,
                     self.query_range, self.radius, self.nsample,
                     voxel_coords=coords, voxel_valid=valid,
                     exact=self.exact_query)
-            grouped_f = feats[idx]                                   # (R, S, C)
-            grouped_xyz = centers[idx] - q_xyz[:, None, :]           # (R, S, 3)
+                grouped_f = feats[idx]                               # (R, S, C)
+                grouped_xyz = centers[idx] - q_xyz[:, None, :]       # (R, S, 3)
             zero = (~empty)[:, None, None].astype(grouped_f.dtype)
             return grouped_f * zero, grouped_xyz * zero, empty
 

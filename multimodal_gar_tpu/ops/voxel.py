@@ -237,7 +237,8 @@ def voxel_query_boxed(voxel_centers: jnp.ndarray,
                       ranges: Tuple[int, int, int],
                       radius: float,
                       nsample: int,
-                      cull_k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      cull_k: int,
+                      return_local: bool = False):
     """Box-grouped voxel query with a per-box spatial cull.
 
     Same semantics as ``voxel_query`` (first ``nsample`` in-window,
@@ -309,10 +310,15 @@ def voxel_query_boxed(voxel_centers: jnp.ndarray,
     neg_top, pos = jax.lax.top_k(-priority.reshape(n * g3, -1), nsample)
     chosen_valid = (-neg_top) < wsize                             # (R, S)
     pos = jnp.minimum(pos, k - 1)                                 # clip pads
+    first_pos = pos[:, :1]
+    local = jnp.where(chosen_valid, pos, first_pos)               # (R, S)
+    empty = ~chosen_valid[:, 0]
+    local = jnp.where(empty[:, None], 0, local).astype(jnp.int32)
     rows = jnp.take_along_axis(
         jnp.broadcast_to(cand[:, None, :], (n, g3, k)).reshape(n * g3, k),
-        pos, axis=1)                                              # global rows
-    first_hit = rows[:, :1]
-    idx = jnp.where(chosen_valid, rows, first_hit)
-    empty = ~chosen_valid[:, 0]
-    return jnp.where(empty[:, None], 0, idx).astype(jnp.int32), empty
+        local, axis=1)                                            # global rows
+    rows = jnp.where(empty[:, None], 0, rows).astype(jnp.int32)   # dense-path
+    #                                   parity: empty queries report row 0
+    if return_local:
+        return rows, empty, cand, local
+    return rows, empty
