@@ -5,6 +5,12 @@ isolation: I3D feature extraction, RoIAlign+NL embed (full RGB branch),
 sparse backbone, ROI grid pool (full LiDAR branch), and the fusion+heads
 tail. Prints one JSON line per component. Not part of the driver contract —
 an engineering tool for finding the next optimization target.
+
+Methodology note (learned the hard way): probe outputs must be FULL
+reductions (jnp.sum) of the component output. Returning a single element
+lets XLA slice-propagate through shallow ops and skip most of the work —
+a 306-GFLOP conv "measured" 0.06 ms that way, and the ROI grid pool
+reported 12 ms when its honest cost was 30.8 ms.
 """
 from __future__ import annotations
 
@@ -59,7 +65,8 @@ def main():
     # full model
     def full(args):
         v, b = args
-        return model.apply(v, b, train=False).card[0, 0]
+        out = model.apply(v, b, train=False)
+        return jnp.sum(out.a_theta) + jnp.sum(out.card)
 
     def perturb_full(args, s):
         v, b = args
@@ -81,7 +88,7 @@ def main():
     def rgb_fn(args):
         v, img, b2, pv = args
         out = rgb.apply(v, img, b2, train=False, valid=pv)
-        return out[0, 0, 0]
+        return jnp.sum(out)
 
     def perturb_rgb(args, s):
         v, img, b2, pv = args
@@ -103,7 +110,7 @@ def main():
         out = lidar.apply(v, b.voxels, b.voxel_coords, b.voxel_num_points,
                           b.voxel_valid, b.boxes3d, b.person_valid,
                           train=False, rulebook=b.rulebook)
-        return out[0, 0, 0]
+        return jnp.sum(out)
 
     def perturb_lidar(args, s):
         v, b = args
