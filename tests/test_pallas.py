@@ -23,3 +23,27 @@ def test_subm_conv_pallas_absent_neighbors(rng):
     w = jnp.asarray(rng.normal(size=(k, c, d)).astype(np.float32))
     out = subm_conv_pallas(feats, nbr, w, block_m=64)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_stem_conv_pallas_interpret_parity():
+    """Pallas stem-conv kernel logic vs lax.conv (interpret mode; the
+    Mosaic lowering constraint is documented in the kernel docstring)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multimodal_gar_tpu.ops.pallas.stem_conv import stem_conv_pallas
+
+    rng = np.random.default_rng(0)
+    xd = jnp.asarray(rng.normal(size=(1, 15, 19, 132, 12))
+                     .astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(7, 4, 4, 12, 64))
+                     .astype(np.float32) * 0.05)
+    ref = jax.lax.conv_general_dilated(
+        xd, w2, (2, 1, 1), [(3, 3), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    with pltpu.force_tpu_interpret_mode():
+        got = stem_conv_pallas(xd, w2, th=8, tw=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
