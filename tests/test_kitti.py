@@ -172,3 +172,46 @@ def test_evaluate_table_keys():
                      metrics=("bev", "3d"))
     assert "Car_bev_moderate" in table and "Car_3d_hard" in table
     assert table["Car_bev_easy"] == pytest.approx(100.0, abs=1e-3)
+
+
+def test_dataset_registry(tmp_path):
+    """build_dataset + det_batches sharding (data/registry.py)."""
+    import os
+    import pickle
+
+    import numpy as np
+
+    from multimodal_gar_tpu.data.registry import (available_datasets,
+                                                  build_dataset, det_batches)
+    assert "KittiDataset" in available_datasets()
+    assert "WaymoDataset" in available_datasets()
+
+    # tiny kitti fixture
+    base = tmp_path / "training"
+    for sub in ("velodyne", "label_2", "calib"):
+        os.makedirs(base / sub)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        pts = rng.uniform(0, 30, (200, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-1.5, 0.5, 200)
+        pts.tofile(base / "velodyne" / f"{i:06d}.bin")
+        with open(base / "calib" / f"{i:06d}.txt", "w") as f:
+            f.write("P2: 700 0 600 0 0 700 200 0 0 0 1 0\n")
+            f.write("R0_rect: 1 0 0 0 1 0 0 0 1\n")
+            f.write("Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0\n")
+        with open(base / "label_2" / f"{i:06d}.txt", "w") as f:
+            f.write("Car 0 0 0 100 100 200 250 1.5 1.7 4.1 "
+                    "2.0 1.6 8.0 0.2\n")
+    ds = build_dataset("KittiDataset", root=str(tmp_path), split="train")
+    assert len(ds) == 4
+
+    batches = list(det_batches(ds, 2, (0.4, 0.4, 0.5), 256,
+                               max_points=512, max_gt=4, seed=1, epoch=0))
+    assert len(batches) == 2
+    assert batches[0].voxels.shape == (2, 256, 5, 4)
+    # rank sharding: two ranks see disjoint halves in the same epoch order
+    a = list(det_batches(ds, 1, (0.4, 0.4, 0.5), 256, max_points=512,
+                         max_gt=4, seed=1, epoch=3, rank=0, world=2))
+    b = list(det_batches(ds, 1, (0.4, 0.4, 0.5), 256, max_points=512,
+                         max_gt=4, seed=1, epoch=3, rank=1, world=2))
+    assert len(a) == 2 and len(b) == 2
