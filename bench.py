@@ -197,7 +197,12 @@ def main():
         sweep[str(b)] = _try(eval_throughput, b)
 
     measured = {int(k): v for k, v in sweep.items() if v}
-    best_b = max(measured, key=measured.get)
+    if not measured:
+        print(json.dumps({"metric": "clips_per_sec_per_chip", "value": 0.0,
+                          "unit": "clips/s", "vs_baseline": 0.0,
+                          "detail": {"error": "all batch sizes failed",
+                                     "eval_clips_per_sec": sweep}}))
+        return
     best = measured[best_b]
 
     detail = {"eval_clips_per_sec": sweep, "best_batch": best_b}

@@ -197,8 +197,14 @@ class GTDatabaseSampler:
             for i in np.where(keep)[0]:
                 accepted.append(cand[i])
             if keep.any():
+                add = boxes[keep]
+                # pad narrower DB boxes (7-dof) to the scene's box width
+                # (e.g. 9-col with velocity); extra columns default to 0
+                if add.shape[-1] < existed.shape[-1]:
+                    add = np.pad(add, ((0, 0),
+                                       (0, existed.shape[-1] - add.shape[-1])))
                 existed = np.concatenate(
-                    [existed, boxes[keep][:, :existed.shape[-1]]], axis=0)
+                    [existed, add[:, :existed.shape[-1]]], axis=0)
 
         if not accepted:
             return points, existed, names
@@ -217,6 +223,12 @@ class GTDatabaseSampler:
             obj_points.append(obj)
         obj_points = np.concatenate(obj_points, axis=0) if obj_points else \
             np.zeros((0, points.shape[-1]), np.float32)
+        # pad narrower DB points (x y z i) to the scene's feature width
+        # (e.g. 5-feature with sweep time); extra features default to 0
+        if obj_points.shape[-1] < points.shape[-1]:
+            obj_points = np.pad(
+                obj_points,
+                ((0, 0), (0, points.shape[-1] - obj_points.shape[-1])))
         points = np.concatenate(
             [obj_points[:, :points.shape[-1]], points], axis=0)
         names = np.concatenate(

@@ -43,6 +43,7 @@ def build_dataset(name: str, **kwargs):
 def det_batches(dataset, batch_size: int, voxel_size, max_voxels: int,
                 *, shuffle: bool = True, seed: int = 0, epoch: int = 0,
                 rank: int = 0, world: int = 1, drop_last: bool = True,
+                with_indices: bool = False,
                 **det_batch_kwargs) -> Iterator:
     """Deterministic sharded DetBatch iterator over `dataset`.
 
@@ -50,6 +51,15 @@ def det_batches(dataset, batch_size: int, voxel_size, max_voxels: int,
     (pcdet/datasets/__init__.py:31-51, 71-78): the permutation is seeded
     by (seed, epoch) so every process computes the same order, then each
     rank takes its strided shard.
+
+    With drop_last=False the remainder batch is padded to the fixed batch
+    size by REPEATING the last frame (shapes must stay static for XLA).
+    Evaluation loops must therefore iterate with `with_indices=True` —
+    each yield becomes (real_indices, batch) where len(real_indices) <=
+    batch_size — and keep only the first len(real_indices) per-item
+    outputs; collecting one det_anno per batch row would otherwise
+    double-count the repeated frame against dataset.evaluation's
+    zip(det_annos, infos) alignment.
     """
     n = len(dataset)
     idx = np.arange(n)
@@ -59,8 +69,10 @@ def det_batches(dataset, batch_size: int, voxel_size, max_voxels: int,
     stop = (len(idx) // batch_size * batch_size) if drop_last else len(idx)
     for s in range(0, stop, batch_size):
         chunk = idx[s:s + batch_size]
+        real = list(map(int, chunk))
         if len(chunk) < batch_size and not drop_last:
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], batch_size - len(chunk))])
-        yield dataset.det_batch(list(map(int, chunk)), voxel_size,
-                                max_voxels, **det_batch_kwargs)
+        batch = dataset.det_batch(list(map(int, chunk)), voxel_size,
+                                  max_voxels, **det_batch_kwargs)
+        yield (real, batch) if with_indices else batch

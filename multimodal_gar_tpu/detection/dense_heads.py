@@ -330,8 +330,6 @@ def decode_center_preds(preds: Dict[str, jnp.ndarray], cfg: CenterHeadConfig,
 
     Returns (scores (B,K), labels (B,K) 1-based, boxes (B,K,7)).
     """
-    fy = grid_size[1] // cfg.feature_map_stride
-    fx = grid_size[0] // cfg.feature_map_stride
     hm = jax.nn.sigmoid(preds["hm"])                          # (B,H,W,C)
     b, h, w, c = hm.shape
     flat = hm.reshape(b, h * w * c)

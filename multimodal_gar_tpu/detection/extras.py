@@ -154,7 +154,7 @@ class DynamicPillarVFE(nn.Module):
             mean = s / jnp.maximum(n, 1.0)[:, None]
             return mean[jnp.clip(sg, 0, mp)], n[:mp]
 
-        means, counts = jax.vmap(mean_item)(points, seg, hit)
+        means, _ = jax.vmap(mean_item)(points, seg, hit)
         safe = jnp.where(uvalid, uniq, 0)
         cx = (safe % nx).astype(jnp.float32) * vx + vx / 2 + pr[0]
         cy = (safe // nx).astype(jnp.float32) * vy + vy / 2 + pr[1]
@@ -274,8 +274,6 @@ class FocalSparseConv(nn.Module):
         k = min(self.top_k, st.features.shape[1])
         score = jnp.where(st.valid, gate, -jnp.inf)
         _, idx = jax.lax.top_k(score, k)                     # (B, k)
-        take = lambda a, i: jnp.take_along_axis(
-            a, i.reshape(i.shape + (1,) * (a.ndim - 2)), axis=1)
         new = SparseTensor(
             features=jnp.take_along_axis(gated, idx[..., None], axis=1),
             coords=jnp.take_along_axis(st.coords, idx[..., None], axis=1),

@@ -196,9 +196,12 @@ class MPPNetDetector(nn.Module):
             preds["rcnn_reg"], preds["rois"])
         scores = jax.nn.sigmoid(preds["rcnn_cls"]) \
             * preds["roi_valid"].astype(jnp.float32)
+        # class labels ride with the input proposals (has_class_labels path);
+        # callers thread them via preds["roi_labels"] when available
         return post_processing(scores[..., None], boxes, self.cfg.nms,
                                cls_preds_normalized=True,
-                               valid=preds["roi_valid"])
+                               valid=preds["roi_valid"],
+                               labels=preds.get("roi_labels"))
 
 
 class MPPNetE2EDetector(MPPNetDetector):

@@ -72,7 +72,8 @@ class StackSAModuleMSG(nn.Module):
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, features: Optional[jnp.ndarray],
                  new_xyz: jnp.ndarray,
-                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 valid: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
         outs = []
         for i, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
@@ -86,8 +87,8 @@ class StackSAModuleMSG(nn.Module):
             h = grouped
             for j, ch in enumerate(mlp):
                 h = nn.Dense(ch, use_bias=False, name=f"mlp{i}_{j}")(h)
-                h = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                                 name=f"mlp{i}_{j}_bn")(h)
+                h = nn.BatchNorm(use_running_average=not train,
+                                 epsilon=1e-3, name=f"mlp{i}_{j}_bn")(h)
                 h = nn.relu(h)
             h = jnp.max(h, axis=1)                             # (M, C)
             h = h * (~empty)[:, None].astype(h.dtype)
@@ -100,12 +101,15 @@ def bilinear_interpolate_bev(bev: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     """(H, W, C) map sampled at fractional (x, y) — voxel_set_abstraction.py
     bilinear_interpolate_torch analogue, one item."""
     h, w, _ = bev.shape
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    xa = jnp.clip(x, 0, w - 1)
-    ya = jnp.clip(y, 0, h - 1)
+    # clamp the BASE cell to w-2/h-2 so boundary queries interpolate the
+    # edge value instead of collapsing to four zero weights (x0==x1 made
+    # all weights vanish for x >= w-1, zeroing far-range keypoints)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    x1 = x0 + 1
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    y1 = y0 + 1
+    xa = jnp.clip(x, 0, w - 1).astype(bev.dtype)
+    ya = jnp.clip(y, 0, h - 1).astype(bev.dtype)
     wa = (x1 - xa) * (y1 - ya)
     wb = (x1 - xa) * (ya - y0)
     wc = (xa - x0) * (y1 - ya)
@@ -142,13 +146,15 @@ class VoxelSetAbstraction(nn.Module):
             if sa_cfg.source == "raw_points":
                 pf = points[:, :, 3:] if points.shape[-1] > 3 \
                     else jnp.zeros(points.shape[:2] + (1,), points.dtype)
-                f = jax.vmap(sa)(points[:, :, :3], pf, keypoints, point_valid)
+                f = jax.vmap(lambda a, b2, c2, d2: sa(a, b2, c2, d2, train=train))(
+                    points[:, :, :3], pf, keypoints, point_valid)
             else:
                 st = multi_scale[sa_cfg.source]
                 centers = jax.vmap(lambda cz: get_voxel_centers(
                     cz, sa_cfg.downsample_factor, self.voxel_size,
                     self.point_cloud_range))(st.coords)
-                f = jax.vmap(sa, in_axes=(0, 0, 0, 0))(
+                f = jax.vmap(lambda a, b2, c2, d2: sa(a, b2, c2, d2,
+                                                      train=train))(
                     centers, st.features, keypoints, st.valid)
             feats.append(f)
 

@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.geometry import safe_sqrt
+
 from ..ops import boxes3d
 from .box_coders import PointResidualCoder, ResidualCoder
 from .detectors import DetBatch, DetectorConfig, register_detector
@@ -97,7 +99,8 @@ class PointRCNNDetector(nn.Module):
         # RoI-point pooling (pointrcnn_head.roipool3d_gpu:85-140)
         pc = self.pool_cfg
         scores = jax.lax.stop_gradient(ph["point_cls_scores"])
-        depth = jnp.linalg.norm(xyz, axis=-1) / pc.depth_normalizer - 0.5
+        depth = safe_sqrt(jnp.sum(xyz ** 2, axis=-1)) \
+            / pc.depth_normalizer - 0.5
         pfeat = jnp.concatenate(
             [scores[..., None], depth[..., None],
              jax.lax.stop_gradient(feats)], -1)

@@ -88,33 +88,39 @@ def multi_classes_nms(cls_scores: jnp.ndarray, boxes: jnp.ndarray,
 
 def post_processing(batch_cls_preds: jnp.ndarray, batch_box_preds: jnp.ndarray,
                     cfg: NMSConfig, cls_preds_normalized: bool = False,
-                    valid: Optional[jnp.ndarray] = None
+                    valid: Optional[jnp.ndarray] = None,
+                    labels: Optional[jnp.ndarray] = None
                     ) -> Dict[str, jnp.ndarray]:
     """Batched final-box selection (detector3d_template.py:178-284).
 
     batch_cls_preds (B, N, num_class) logits (or probabilities when
-    cls_preds_normalized), batch_box_preds (B, N, 7+). Returns padded
-    {"boxes" (B, K, 7), "scores" (B, K), "labels" (B, K), "valid" (B, K)}.
+    cls_preds_normalized), batch_box_preds (B, N, 7+). `labels` (B, N)
+    1-based overrides the argmax class — the template's has_class_labels
+    path (detector3d_template.py:243-247), used by two-stage heads whose
+    rcnn score is class-agnostic and whose class comes from the RoI.
+    Returns padded {"boxes" (B, K, 7), "scores", "labels", "valid"}.
     """
     cls = batch_cls_preds if cls_preds_normalized \
         else jax.nn.sigmoid(batch_cls_preds)
+    if labels is None:
+        labels = cls.argmax(-1).astype(jnp.int32) + 1
 
     if cfg.multi_classes_nms:
-        def per_item(c, raw_c, b, v):
+        def per_item(c, raw_c, b, v, _lb):
             return multi_classes_nms(c, b, cfg, v)
     else:
-        def per_item(c, raw_c, b, v):
+        def per_item(c, raw_c, b, v, lb):
             score = c.max(-1)
-            label = c.argmax(-1).astype(jnp.int32) + 1
             idx, sc, vd = class_agnostic_nms(score, b, cfg, v)
             if cfg.output_raw_score:     # template.py:263-265
                 sc = raw_c.max(-1)[idx] * vd.astype(c.dtype)
-            return b[idx], sc, label[idx], vd
+            return b[idx], sc, lb[idx], vd
 
     if valid is None:
         valid = jnp.ones(cls.shape[:2], bool)
     bx, sc, lb, vd = jax.vmap(per_item)(cls, batch_cls_preds,
-                                        batch_box_preds[..., :7], valid)
+                                        batch_box_preds[..., :7], valid,
+                                        labels)
     return {"boxes": bx, "scores": sc, "labels": lb * vd.astype(jnp.int32),
             "valid": vd}
 

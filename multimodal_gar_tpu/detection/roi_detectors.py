@@ -167,13 +167,12 @@ def _two_stage_predict(cfg: DetectorConfig, preds) -> Dict[str, jnp.ndarray]:
         preds["rcnn_reg"], preds["rois"])
     scores = jax.nn.sigmoid(preds["rcnn_cls"]) \
         * preds["roi_valid"].astype(jnp.float32)
-    out = post_processing(scores[..., None], boxes, cfg.nms,
-                          cls_preds_normalized=True,
-                          valid=preds["roi_valid"])
-    # labels follow the RoI labels through the same selection: redo gather
-    # via nearest-box match is unnecessary — post_processing keeps order by
-    # score; recompute labels by matching selected boxes to roi slots.
-    return out
+    # has_class_labels path: the rcnn score is class-agnostic, the class
+    # comes from each RoI and rides through the NMS selection
+    return post_processing(scores[..., None], boxes, cfg.nms,
+                           cls_preds_normalized=True,
+                           valid=preds["roi_valid"],
+                           labels=preds["roi_labels"])
 
 
 class VoxelRCNNDetector(nn.Module):
@@ -259,8 +258,9 @@ class PVRCNNDetector(nn.Module):
         sa = StackSAModuleMSG(self.roi_cfg.pool_radii,
                               self.roi_cfg.pool_nsamples,
                               self.roi_cfg.pool_mlps, name="roi_grid_pool")
-        pooled = jax.vmap(sa)(vsa["keypoints"], kp_feats,
-                              grid.reshape(b, r * g3, 3))   # (B, R*G3, C)
+        pooled = jax.vmap(lambda a, b2, c2: sa(a, b2, c2, train=train))(
+            vsa["keypoints"], kp_feats,
+            grid.reshape(b, r * g3, 3))                     # (B, R*G3, C)
         pooled = pooled.reshape(b, r, -1)
         rcnn_cls, rcnn_reg = RefinementMLP(self.roi_cfg, name="rcnn_head")(
             pooled, stage1["roi_valid"], train)

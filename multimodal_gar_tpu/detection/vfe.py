@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.geometry import safe_sqrt
+
 from ..models.layers import MaskedBatchNorm
 
 
@@ -91,8 +93,10 @@ class PillarVFE(nn.Module):
         feats = [voxels if self.use_absolute_xyz else voxels[..., 3:],
                  f_cluster, f_center]
         if self.with_distance:
-            feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1,
-                                         keepdims=True))
+            # safe_sqrt per CLAUDE.md: padded rows are all-zero and a raw
+            # norm has an inf gradient at 0
+            feats.append(safe_sqrt(jnp.sum(voxels[..., :3] ** 2,
+                                           axis=-1))[..., None])
         x = jnp.concatenate(feats, -1)
 
         pt_mask = (jnp.arange(n)[None, None, :] < num_points[..., None]) \

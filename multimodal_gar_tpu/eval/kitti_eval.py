@@ -153,55 +153,61 @@ def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
 
 def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
                  det_care, min_overlap: float, thresh: float):
-    """Greedy matching at one score threshold -> (tp, fp, fn)."""
+    """Matching at one score threshold -> (tp, fp, fn).
+
+    Mirrors the devkit's compute_statistics with compute_fp=True
+    (kitti_object_eval_python/eval.py compute_statistics_jit): GTs iterate
+    in order; each (care or ignored) GT claims its max-OVERLAP unassigned
+    detection with overlap strictly > min_overlap; ignored GTs consume
+    their match without scoring; unmatched above-threshold detections are
+    false positives."""
     g, d = iou.shape
-    det_on = det_care & (scores >= thresh)
+    thresh_ok = scores >= thresh      # devkit ignored_threshold
     assigned = np.zeros(d, bool)
     tp = fn = 0
     for i in range(g):
-        if not care_g[i]:
+        if not care_g[i] and not ign_g[i]:
             continue
-        best, best_j = min_overlap, -1
+        det_idx, max_ov = -1, 0.0
         for j in range(d):
-            if not det_on[j] or assigned[j]:
+            if not det_care[j] or assigned[j] or not thresh_ok[j]:
                 continue
-            if iou[i, j] >= best:
-                best, best_j = iou[i, j], j
-        if best_j >= 0:
-            assigned[best_j] = True
-            tp += 1
+            ov = iou[i, j]
+            if ov > min_overlap and ov > max_ov:
+                max_ov, det_idx = ov, j
+        if det_idx < 0:
+            if care_g[i]:
+                fn += 1
+        elif ign_g[i]:
+            assigned[det_idx] = True          # consumed, not scored
         else:
-            fn += 1
-    # detections overlapping ignored GT (or DontCare) are neither TP nor FP
-    ign_hit = np.zeros(d, bool)
-    for j in range(d):
-        if det_on[j] and not assigned[j]:
-            for i in range(g):
-                if ign_g[i] and iou[i, j] >= min_overlap:
-                    ign_hit[j] = True
-                    break
-    fp = int((det_on & ~assigned & ~ign_hit).sum())
+            assigned[det_idx] = True
+            tp += 1
+    fp = int((det_care & thresh_ok & ~assigned).sum())
     return tp, fp, fn
 
 
-def _tp_scores(iou, scores, care_g, det_care, min_overlap):
-    """Scores of detections matched to care GTs at threshold 0 (devkit
-    compute_statistics with compute_fp=False) — drives threshold selection."""
+def _tp_scores(iou, scores, care_g, ign_g, det_care, min_overlap):
+    """Scores of detections matched to care GTs (devkit compute_statistics
+    with compute_fp=False) — drives threshold selection. In this stage each
+    GT claims its max-SCORE detection above min_overlap (strict >), not
+    the max-overlap one; ignored GTs consume without emitting."""
     g, d = iou.shape
     assigned = np.zeros(d, bool)
     out = []
     for i in range(g):
-        if not care_g[i]:
+        if not care_g[i] and not ign_g[i]:
             continue
-        best, best_j = min_overlap, -1
+        det_idx, best_score = -1, -np.inf
         for j in range(d):
             if not det_care[j] or assigned[j]:
                 continue
-            if iou[i, j] >= best:
-                best, best_j = iou[i, j], j
-        if best_j >= 0:
-            assigned[best_j] = True
-            out.append(scores[best_j])
+            if iou[i, j] > min_overlap and scores[j] > best_score:
+                best_score, det_idx = scores[j], j
+        if det_idx >= 0:
+            assigned[det_idx] = True
+            if care_g[i]:
+                out.append(scores[det_idx])
     return out
 
 
@@ -225,7 +231,8 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
 
     all_tp_scores = []
     for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
-        all_tp_scores += _tp_scores(iou, f.det_scores, care_g, det_care, mo)
+        all_tp_scores += _tp_scores(iou, f.det_scores, care_g, ign_g,
+                                    det_care, mo)
     # devkit get_thresholds: score at each crossed recall step
     all_tp_scores = np.sort(all_tp_scores)[::-1]
     thresholds = []

@@ -38,8 +38,18 @@ def build_model(cfg: Config, name: str = "MGAR"):
     if name in _REGISTRY:
         return _REGISTRY[name](cfg)
     from ..detection import available_detectors, build_detector
+    from ..detection.detectors import default_config
     if name in available_detectors():
-        return build_detector(name)
+        # thread the caller's point-cloud geometry into the detector config
+        # (the promise above): range/voxel size drive the anchor grid and
+        # sparse shape, so silently using KITTI defaults against a
+        # differently-voxelized batch would produce garbage targets
+        import dataclasses as _dc
+        pc = cfg.data.point_cloud
+        det_cfg = _dc.replace(default_config(name),
+                              point_cloud_range=tuple(pc.range),
+                              voxel_size=tuple(pc.voxel.voxel_size))
+        return build_detector(name, det_cfg)
     raise KeyError(f"unknown model {name!r}; have {available_models()} "
                    f"+ detectors {available_detectors()}")
 

@@ -189,3 +189,23 @@ def test_pvrcnn_train_smoke():
         variables, batch)
     out = jax.jit(model.predict)(eval_preds)
     assert out["boxes"].shape[-1] == 7
+
+
+def test_post_processing_label_override():
+    """has_class_labels path: RoI labels ride through NMS selection
+    (the rcnn score is class-agnostic, so argmax-derived labels would
+    collapse every detection to class 1)."""
+    import jax.numpy as jnp
+
+    from multimodal_gar_tpu.detection.post import NMSConfig, post_processing
+
+    boxes = jnp.asarray([[[0, 0, 0, 4, 2, 1.5, 0.0],
+                          [20, 0, 0, 0.8, 0.8, 1.7, 0.0],
+                          [40, 0, 0, 1.8, 0.6, 1.7, 0.0]]], jnp.float32)
+    scores = jnp.asarray([[0.9, 0.8, 0.7]])[..., None]
+    labels = jnp.asarray([[1, 2, 3]], jnp.int32)
+    out = post_processing(scores, boxes, NMSConfig(nms_post_maxsize=3,
+                                                   score_thresh=0.1),
+                          cls_preds_normalized=True, labels=labels)
+    got = sorted(int(x) for x in out["labels"][0] if int(x) > 0)
+    assert got == [1, 2, 3]
