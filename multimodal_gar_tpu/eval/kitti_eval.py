@@ -130,6 +130,15 @@ class FrameAnnotations:
     det_boxes: np.ndarray         # (D, 7|4)
     det_names: List[str]
     det_scores: np.ndarray        # (D,)
+    # devkit ignored_det==1 (clean_data: 2D bbox height < MIN_HEIGHT for
+    # the difficulty): such detections may be consumed by GTs but are
+    # never scored and never count as false positives. Optional because
+    # lidar-native pipelines carry no 2D boxes for 3D detections.
+    det_ignored: np.ndarray = None
+
+    def __post_init__(self):
+        if self.det_ignored is None:
+            self.det_ignored = np.zeros(len(self.det_names), bool)
 
 
 def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
@@ -152,7 +161,8 @@ def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
 
 
 def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
-                 det_care, min_overlap: float, thresh: float):
+                 det_care, min_overlap: float, thresh: float,
+                 det_ignored=None, dontcare_rows=None):
     """Matching at one score threshold -> (tp, fp, fn).
 
     Mirrors the devkit's compute_statistics with compute_fp=True
@@ -163,31 +173,48 @@ def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
     false positives."""
     g, d = iou.shape
     thresh_ok = scores >= thresh      # devkit ignored_threshold
+    det_ign = det_ignored if det_ignored is not None \
+        else np.zeros(d, bool)
     assigned = np.zeros(d, bool)
     tp = fn = 0
     for i in range(g):
         if not care_g[i] and not ign_g[i]:
             continue
-        det_idx, max_ov = -1, 0.0
+        det_idx, max_ov, on_ignored = -1, 0.0, False
         for j in range(d):
             if not det_care[j] or assigned[j] or not thresh_ok[j]:
                 continue
             ov = iou[i, j]
-            if ov > min_overlap and ov > max_ov:
-                max_ov, det_idx = ov, j
+            if ov > min_overlap and (ov > max_ov or on_ignored) \
+                    and not det_ign[j]:
+                max_ov, det_idx, on_ignored = ov, j, False
+            elif ov > min_overlap and det_idx < 0 and det_ign[j]:
+                det_idx, on_ignored = j, True    # fallback: ignored det
         if det_idx < 0:
             if care_g[i]:
                 fn += 1
-        elif ign_g[i]:
+        elif ign_g[i] or det_ign[det_idx]:
             assigned[det_idx] = True          # consumed, not scored
         else:
             assigned[det_idx] = True
             tp += 1
-    fp = int((det_care & thresh_ok & ~assigned).sum())
+    det_ign = det_ignored if det_ignored is not None \
+        else np.zeros(d, bool)
+    # DontCare absorb-all (devkit stuff pass): every unassigned detection
+    # overlapping ANY DontCare region escapes the FP count (one DontCare
+    # area may absorb many detections, unlike ignored same-class GTs)
+    dc_hit = np.zeros(d, bool)
+    if dontcare_rows is not None and dontcare_rows.any():
+        for j in range(d):
+            if det_care[j] and thresh_ok[j] and not assigned[j]:
+                if (iou[dontcare_rows, j] > min_overlap).any():
+                    dc_hit[j] = True
+    fp = int((det_care & thresh_ok & ~assigned & ~det_ign & ~dc_hit).sum())
     return tp, fp, fn
 
 
-def _tp_scores(iou, scores, care_g, ign_g, det_care, min_overlap):
+def _tp_scores(iou, scores, care_g, ign_g, det_care, min_overlap,
+               det_ignored=None):
     """Scores of detections matched to care GTs (devkit compute_statistics
     with compute_fp=False) — drives threshold selection. In this stage each
     GT claims its max-SCORE detection above min_overlap (strict >), not
@@ -206,7 +233,8 @@ def _tp_scores(iou, scores, care_g, ign_g, det_care, min_overlap):
                 best_score, det_idx = scores[j], j
         if det_idx >= 0:
             assigned[det_idx] = True
-            if care_g[i]:
+            if care_g[i] and not (det_ignored is not None
+                                  and det_ignored[det_idx]):
                 out.append(scores[det_idx])
     return out
 
@@ -232,7 +260,8 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
     all_tp_scores = []
     for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
         all_tp_scores += _tp_scores(iou, f.det_scores, care_g, ign_g,
-                                    det_care, mo)
+                                    det_care, mo,
+                                    det_ignored=f.det_ignored)
     # devkit get_thresholds: score at each crossed recall step
     all_tp_scores = np.sort(all_tp_scores)[::-1]
     thresholds = []
@@ -250,8 +279,12 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
     for k, t in enumerate(thresholds):
         tp = fp = fn = 0
         for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
+            dc_rows = np.asarray([n == "DontCare" for n in f.gt_names],
+                                 bool)
             a, b, c = _frame_stats(iou, f.det_scores, care_g, ign_g,
-                                   det_care, mo, t)
+                                   det_care, mo, t,
+                                   det_ignored=f.det_ignored,
+                                   dontcare_rows=dc_rows)
             tp, fp, fn = tp + a, fp + b, fn + c
         prec[k] = tp / max(tp + fp, 1)
         rec[k] = tp / max(tp + fn, 1)

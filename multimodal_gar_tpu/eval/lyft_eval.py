@@ -64,14 +64,18 @@ def _class_ap(frames: Sequence[LyftFrame], cls: str,
                          np.int64) for f in frames]
     checked = [np.zeros((len(g), len(iou_thresholds)), bool)
                for g in gt_idx]
+    # one (G_cls, D) IoU matrix per frame up front — per-prediction
+    # iou_3d calls rebuilt every GT polygon O(D) times
+    iou_cache = [iou_3d(f.gt_boxes[g], f.det_boxes)
+                 if len(g) and len(f.det_boxes) else np.zeros((len(g), 0))
+                 for f, g in zip(frames, gt_idx)]
     nt = len(iou_thresholds)
     tp = np.zeros((len(preds), nt))
     fp = np.zeros((len(preds), nt))
     for pi, (_, fi, di) in enumerate(preds):
-        f = frames[fi]
         g = gt_idx[fi]
         if len(g) > 0:
-            ious = iou_3d(f.gt_boxes[g], f.det_boxes[di:di + 1])[:, 0]
+            ious = iou_cache[fi][:, di]
             jmax = int(np.argmax(ious))
             max_ov = float(ious[jmax])
         else:

@@ -73,57 +73,80 @@ def _flags(frame: OnceFrame, cls: str, diff: int, use_superclass: bool):
 
 
 def _tp_scores(iou, scores, gt_flag, det_flag, thr):
+    """Devkit accumulate_scores (evaluation.py:177-208): every same-class
+    GT (scored OR ignored) claims its max-SCORE unassigned detection with
+    iou strictly > thr; ignored GTs/dets consume without emitting."""
     out = []
     assigned = np.zeros(len(det_flag), bool)
     for i in range(len(gt_flag)):
-        if gt_flag[i] != 0:
+        if gt_flag[i] == -1:
             continue
-        best, bj = thr, -1
+        bj, best_score = -1, -1.0
         for j in range(len(det_flag)):
-            if det_flag[j] < 0 or assigned[j]:
+            if det_flag[j] == -1 or assigned[j]:
                 continue
-            if iou[i, j] >= best:
-                best, bj = iou[i, j], j
-        if bj >= 0:
-            assigned[bj] = True
-            if det_flag[bj] == 0:
-                out.append(scores[bj])
+            if iou[i, j] > thr and scores[j] > best_score:
+                best_score, bj = scores[j], j
+        if bj < 0:
+            continue
+        assigned[bj] = True
+        if gt_flag[i] == 0 and det_flag[bj] == 0:
+            out.append(float(scores[bj]))
     return out
 
 
 def _stats(iou, scores, gt_flag, det_flag, score_th, thr):
-    det_on = (det_flag >= 0) & (scores >= score_th)
+    """Devkit compute_statistics (evaluation.py:211-255): scored dets are
+    matched by max iou (strict > thr); an ignored det can hold a GT until
+    a scored det displaces it; ignored GTs/dets consume their match;
+    FPs are unassigned scored dets above the score threshold."""
+    under = scores < score_th
     assigned = np.zeros(len(det_flag), bool)
     tp = fn = 0
     for i in range(len(gt_flag)):
-        if gt_flag[i] != 0:
+        if gt_flag[i] == -1:
             continue
-        best, bj = thr, -1
+        det_idx, detected, best_iou, on_ignore = -1, False, 0.0, False
         for j in range(len(det_flag)):
-            if not det_on[j] or assigned[j]:
+            if det_flag[j] == -1 or assigned[j] or under[j]:
                 continue
-            if iou[i, j] >= best:
-                best, bj = iou[i, j], j
-        if bj >= 0:
-            assigned[bj] = True
-            if det_flag[bj] == 0:
-                tp += 1
+            ov = iou[i, j]
+            if ov > thr and (ov > best_iou or on_ignore) \
+                    and det_flag[j] == 0:
+                best_iou, det_idx, detected, on_ignore = ov, j, True, False
+            elif ov > thr and not detected and det_flag[j] == 1:
+                det_idx, detected, on_ignore = j, True, True
+        if not detected:
+            if gt_flag[i] == 0:
+                fn += 1
+        elif gt_flag[i] == 1 or det_flag[det_idx] == 1:
+            assigned[det_idx] = True
         else:
-            fn += 1
-    fp = int(((det_flag == 0) & det_on & ~assigned).sum())
+            assigned[det_idx] = True
+            tp += 1
+    fp = int(((det_flag == 0) & ~under & ~assigned).sum())
     return tp, fp, fn
 
 
 def _thresholds(scores: Sequence[float], num_gt: int) -> List[float]:
+    """Devkit get_thresholds (evaluation.py:153-174) including the
+    duplicate-padding loop: when one detection crosses several 1/50
+    recall levels, its score fills every crossed slot so precision
+    samples stay aligned with their recall grid positions."""
+    eps = 1e-6
     scores = np.sort(np.asarray(scores))[::-1]
-    out, cur = [], 0.0
+    out: List[float] = []
+    recall_level = 0.0
     for i, s in enumerate(scores):
         l_rec = (i + 1) / max(num_gt, 1)
         r_rec = (i + 2) / max(num_gt, 1) if i < len(scores) - 1 else l_rec
-        if (r_rec - cur) < (cur - l_rec) and i < len(scores) - 1:
+        if (r_rec + l_rec < 2 * recall_level) and i < len(scores) - 1:
             continue
         out.append(float(s))
-        cur += 1.0 / NUM_PR_POINTS
+        recall_level += 1.0 / NUM_PR_POINTS
+        while r_rec + l_rec + eps > 2 * recall_level:
+            out.append(float(s))
+            recall_level += 1.0 / NUM_PR_POINTS
     return out
 
 

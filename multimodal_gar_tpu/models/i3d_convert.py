@@ -100,8 +100,6 @@ def load_i3d_checkpoint(variables: Dict, checkpoint: Union[str, Mapping],
     p_over, s_over = convert_state_dict(state)
 
     variables = jax.tree_util.tree_map(np.asarray, variables)
-    unfrozen = {k: dict(v) if not isinstance(v, dict) else v
-                for k, v in variables.items()}
 
     def to_mutable(d):
         return {k: to_mutable(v) for k, v in d.items()} if isinstance(d, dict) \

@@ -100,7 +100,8 @@ class LiDARBackbone(nn.Module):
             # gat_model.py:934-947)
             x = pooled.reshape(b * n, g, g, g, c)
             x = NLBlockND(in_channels=c, inter_channels=max(c // 8, 1),
-                          mode="dot", dtype=self.dtype, name="self_att")(x, train)
+                          mode="dot", dtype=self.dtype, name="self_att")(
+                x, train, valid=roi_valid.reshape(b * n))
             x = x.reshape(b, n, g3 * c)
         x = nn.Dense(self.cfg.embedding_dim,
                      kernel_init=nn.initializers.kaiming_normal(),

@@ -31,7 +31,8 @@ class NLBlockND(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
         inter = self.inter_channels or max(self.in_channels // 2, 1)
         n = x.shape[0]
         spatial = x.shape[1:-1]
@@ -70,10 +71,17 @@ class NLBlockND(nn.Module):
         # block starts as identity (reference backbone.py:606-620).
         if self.bn_layer:
             w_y = nn.Dense(self.in_channels, dtype=self.dtype, name="W_z")(y)
+            # `valid` (N,) marks real entity rows: the reference applies the
+            # block to valid-person slices only, so padded rows must not
+            # contaminate the batch statistics (CLAUDE.md masked-BN rule)
+            bn_mask = None
+            if valid is not None and train:
+                bn_mask = jnp.broadcast_to(
+                    valid[:, None, None], w_y.shape)
             w_y = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 scale_init=nn.initializers.zeros, dtype=self.dtype,
-                name="W_z_bn")(w_y)
+                name="W_z_bn")(w_y, mask=bn_mask)
         else:
             w_y = nn.Dense(self.in_channels, kernel_init=nn.initializers.zeros,
                            bias_init=nn.initializers.zeros, dtype=self.dtype,

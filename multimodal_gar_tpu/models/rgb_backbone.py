@@ -81,9 +81,11 @@ class RGBBackbone(nn.Module):
                           name="self_att")(patches, train)         # (B,N,5,5,C)
             x = jnp.mean(x, axis=(2, 3))                           # avg pool
         else:
+            nl_valid = None if valid is None else valid.reshape(b * n)
             x = NLBlockND(in_ch, in_ch // 8, "dot", dtype=self.dtype,
                           name="self_att")(
-                patches.reshape(b * n, 5, 5, in_ch), train)
+                patches.reshape(b * n, 5, 5, in_ch), train,
+                valid=nl_valid)
             x = jnp.mean(x, axis=(1, 2)).reshape(b, n, in_ch)
 
         x = nn.Dense(self.cfg.embedding_dim,

@@ -143,8 +143,11 @@ class NeighborVoxelPoolLayer(nn.Module):
         pos = nn.Dense(self.mlp_mid, use_bias=False,
                        kernel_init=nn.initializers.kaiming_normal(),
                        dtype=self.dtype, name="mlp_pos")(grouped_xyz)
+        # empty-query rows (zeroed offsets) stay in the BN statistics —
+        # the reference's BatchNorm1d also sees them (voxel_pool_modules.py
+        # zeroes grouped tensors before the position MLP + BN)
         pos = MaskedBatchNorm(momentum=0.99, epsilon=1e-5, name="mlp_pos_bn")(
-            pos, mask=query_valid[:, :, None] & jnp.ones_like(empty[:, :, None]),
+            pos, mask=query_valid[:, :, None],
             use_running_average=not train)
 
         x = nn.relu(grouped_f + pos)                                 # (B, R, S, C)

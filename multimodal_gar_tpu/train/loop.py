@@ -103,10 +103,18 @@ def run_training(cfg: Config, workdir: str,
                                              needs_eig=needs_eig))
         eval_step = jax.jit(make_eval_step(model))
 
+        # fast-forward past already-trained epochs after a resume. The
+        # restored global step counts epochs across ALL prior stages, so
+        # subtract the epochs belonging to stages before this one — gating
+        # on stage 0 alone would re-train a later stage's completed epochs
+        # (double-training restored weights and shifting the LR schedule).
         start_epoch = 0
-        if restored and stage_idx == 0:
-            start_epoch = min(global_step // max(steps_per_epoch, 1),
-                              stage.epochs)
+        if restored:
+            done_epochs = global_step // max(steps_per_epoch, 1)
+            prior_epochs = sum(s.epochs for s in cfg.train.stages[:stage_idx]
+                               if s.epochs > 0)
+            start_epoch = max(0, min(done_epochs - prior_epochs,
+                                     stage.epochs))
         for epoch in range(start_epoch, stage.epochs):
             for i, batch in enumerate(train_pipe.epoch(epoch)):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:

@@ -38,7 +38,15 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def masked_bce_mean(pred, target, mask):
-    m = mask.astype(pred.dtype)
+    """Mean BCE over the masked elements of `pred`.
+
+    The mask is broadcast to pred's full shape before counting, so a
+    (B, N, 1) row mask against (B, N, C) predictions divides by rows*C —
+    matching torch nn.BCELoss()'s all-element mean (train_func.py:209-239)
+    restricted to valid rows. (A row-count denominator would scale each
+    partition loss by its class width, weighting partitions 2:4:7:5.)
+    """
+    m = jnp.broadcast_to(mask, pred.shape).astype(pred.dtype)
     return jnp.sum(_bce(pred, target) * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 

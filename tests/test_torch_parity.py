@@ -203,3 +203,25 @@ def test_giou_parity():
     ours = pairwise_giou_2d(jnp.asarray(boxes))
     ref = _torch_generalized_box_iou(_t(boxes), _t(boxes))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=ATOL)
+
+
+def test_masked_bce_matches_torch_bceloss_mean():
+    """Partition BCE == torch nn.BCELoss() (all-element mean) on the valid
+    rows — guards the divisor semantics (a row-count denominator would
+    scale each partition loss by its class width)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+
+    from multimodal_gar_tpu.train.losses import masked_bce_mean
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0.05, 0.95, (1, 6, 7)).astype(np.float32)
+    target = (rng.uniform(size=(1, 6, 7)) > 0.5).astype(np.float32)
+    valid = np.array([[True] * 4 + [False] * 2])
+
+    ours = float(masked_bce_mean(jnp.asarray(pred), jnp.asarray(target),
+                                 jnp.asarray(valid)[..., None]))
+    ref = float(torch.nn.BCELoss()(torch.from_numpy(pred[0, :4]),
+                                   torch.from_numpy(target[0, :4])))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
