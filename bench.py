@@ -203,6 +203,7 @@ def main():
                           "detail": {"error": "all batch sizes failed",
                                      "eval_clips_per_sec": sweep}}))
         return
+    best_b = max(measured, key=measured.get)
     best = measured[best_b]
 
     detail = {"eval_clips_per_sec": sweep, "best_batch": best_b}
