@@ -12,9 +12,11 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Sequence
+from typing import Optional, Dict, List, Sequence
 
 import numpy as np
+
+from .processor import mask_points_outside_range
 
 from ..eval.argo2_eval import COMPETITION_CATEGORIES, Argo2Frame
 
@@ -79,11 +81,10 @@ class Argo2Dataset:
         sample_idx = os.path.splitext(os.path.basename(
             info["point_cloud"]["velodyne_path"]))[0]
         pts = self.get_lidar(sample_idx)
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
+        pts = mask_points_outside_range(pts, self.range)
         out: Dict = {"frame_id": sample_idx,
                      "uuid": info.get("uuid", sample_idx),
-                     "points": pts[inb]}
+                     "points": pts}
         annos = info.get("annos")
         if annos is not None:
             boxes = np.concatenate(
@@ -118,13 +119,21 @@ class Argo2Dataset:
             rulebook_caps=rulebook_caps, num_features=4)
 
     def evaluation(self, det_annos: Sequence[dict],
-                   max_range_m: float = 150.0) -> Dict:
+                   max_range_m: float = 150.0,
+                   indices: Optional[Sequence[int]] = None) -> Dict:
         """CDS evaluation over `det_annos` [{name, boxes_lidar, score}]
         aligned with self.infos (argo2_dataset.evaluation:269-330 without
         the av2 dependency)."""
         from ..eval.argo2_eval import evaluate
+        # positional alignment guard — see WaymoDataset.evaluation
+        infos = (self.infos if indices is None
+                 else [self.infos[i] for i in indices])
+        if len(det_annos) != len(infos):
+            raise ValueError(
+                f"{len(det_annos)} det_annos vs {len(infos)} frames; pass "
+                "indices= to align a subset")
         frames = []
-        for det, info in zip(det_annos, self.infos):
+        for det, info in zip(det_annos, infos):
             annos = info.get("annos", {})
             boxes = np.concatenate(
                 [np.asarray(annos.get("location", np.zeros((0, 3))),

@@ -79,14 +79,16 @@ def random_world_scaling(points: np.ndarray, boxes: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bev_iou_host(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
-    """Rotated-BEV IoU on host arrays via ops/boxes3d.py (jax on any backend)."""
+    """Rotated-BEV IoU in pure numpy (eval/kitti_eval.bev_iou).
+
+    Deliberately NOT the jax op: this runs per class per sample inside the
+    host data pipeline, and eager jax dispatch over the tunneled TPU costs
+    ~30-100 ms per op (CLAUDE.md "never run eager per-op code")."""
     if len(boxes_a) == 0 or len(boxes_b) == 0:
         return np.zeros((len(boxes_a), len(boxes_b)), np.float32)
-    import jax.numpy as jnp
-
-    from ..ops.boxes3d import boxes_iou_bev
-    return np.asarray(boxes_iou_bev(jnp.asarray(boxes_a[:, :7]),
-                                    jnp.asarray(boxes_b[:, :7])))
+    from ..eval.kitti_eval import bev_iou
+    return bev_iou(np.asarray(boxes_a[:, :7], np.float64),
+                   np.asarray(boxes_b[:, :7], np.float64))
 
 
 def _points_in_boxes_host(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:

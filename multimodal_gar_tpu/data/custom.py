@@ -15,6 +15,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .processor import mask_points_outside_range
+
 
 class CustomDataset:
     def __init__(self, root: str, split: str = "train",
@@ -60,9 +62,8 @@ class CustomDataset:
         keep = [i for i, n in enumerate(names) if n in self.class_names]
         classes = np.asarray([self.class_names.index(names[i]) + 1
                               for i in keep], np.int32)
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
-        return {"frame_id": fid, "points": pts[inb].astype(np.float32),
+        pts = mask_points_outside_range(pts, self.range)
+        return {"frame_id": fid, "points": pts.astype(np.float32),
                 "gt_boxes": boxes[keep], "gt_classes": classes,
                 "gt_names": [names[i] for i in keep]}
 

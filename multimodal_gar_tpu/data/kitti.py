@@ -27,6 +27,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from .processor import mask_points_outside_range
+
 KITTI_CLASSES = ("Car", "Pedestrian", "Cyclist")
 _DIFFICULTY = {"easy": 0, "moderate": 1, "hard": 2}
 
@@ -178,10 +180,9 @@ class KittiDataset:
         classes = np.asarray(
             [self.class_names.index(o.cls_type) + 1 for o in keep],
             np.int32)
-        # range mask (data_processor.mask_points_and_boxes_outside_range)
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
-        return {"frame_id": fid, "points": pts[inb], "gt_boxes": boxes,
+        # range mask (x/y only — pcdet mask_points_by_range ignores z)
+        pts = mask_points_outside_range(pts, self.range)
+        return {"frame_id": fid, "points": pts, "gt_boxes": boxes,
                 "gt_classes": classes, "calib": calib,
                 "difficulty": np.asarray([o.difficulty for o in keep],
                                          np.int32)}

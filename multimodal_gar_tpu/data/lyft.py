@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Sequence
+from typing import Optional, Dict, List, Sequence
 
 import numpy as np
+
+from .processor import mask_points_outside_range
 
 from ..eval.lyft_eval import LYFT_CLASSES, LyftFrame
 
@@ -87,8 +89,7 @@ class LyftDataset:
     def frame(self, idx: int) -> Dict[str, np.ndarray]:
         info = self.infos[idx]
         pts = self.get_lidar_with_sweeps(idx)
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
+        pts = mask_points_outside_range(pts, self.range)
         boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))),
                            np.float32)
         names = list(info.get("gt_names", ()))
@@ -96,7 +97,7 @@ class LyftDataset:
         return {"frame_id": os.path.splitext(
                     os.path.basename(info["lidar_path"]))[0],
                 "token": info.get("token", ""),
-                "points": pts[inb],
+                "points": pts,
                 "gt_boxes": boxes[sel][:, :7] if len(sel)
                 else np.zeros((0, 7), np.float32),
                 "gt_classes": np.asarray(
@@ -117,12 +118,20 @@ class LyftDataset:
     def evaluation(self, det_annos: Sequence[dict],
                    eval_metric: str = "lyft",
                    iou_thresholds: Sequence[float] = (0.5, 0.6, 0.7,
-                                                      0.8, 0.9)) -> Dict:
+                                                      0.8, 0.9),
+                   indices: Optional[Sequence[int]] = None) -> Dict:
+        # positional alignment guard — see WaymoDataset.evaluation
+        infos = (self.infos if indices is None
+                 else [self.infos[i] for i in indices])
+        if len(det_annos) != len(infos):
+            raise ValueError(
+                f"{len(det_annos)} det_annos vs {len(infos)} frames; pass "
+                "indices= to align a subset")
         if eval_metric == "lyft":
             from ..eval.lyft_eval import (format_lyft_results,
                                           get_average_precisions)
             frames = []
-            for det, info in zip(det_annos, self.infos):
+            for det, info in zip(det_annos, infos):
                 frames.append(LyftFrame(
                     gt_boxes=np.asarray(info.get("gt_boxes",
                                                  np.zeros((0, 7))),
@@ -139,7 +148,7 @@ class LyftDataset:
         if eval_metric == "kitti":
             from ..eval.kitti_eval import FrameAnnotations, evaluate
             frames = []
-            for det, info in zip(det_annos, self.infos):
+            for det, info in zip(det_annos, infos):
                 g_names = [MAP_NAME_TO_KITTI.get(str(n), str(n))
                            for n in info.get("gt_names", ())]
                 frames.append(FrameAnnotations(

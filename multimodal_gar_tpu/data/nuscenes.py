@@ -25,6 +25,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from .processor import mask_points_outside_range
+
 from ..eval.nuscenes_eval import Frames, NuscBox
 
 NUSCENES_CLASSES = (
@@ -194,8 +196,7 @@ class NuScenesDataset:
     def frame(self, idx: int) -> Dict[str, np.ndarray]:
         info = self.infos[idx]
         pts = self.get_lidar_with_sweeps(idx)
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
+        pts = mask_points_outside_range(pts, self.range)
         boxes = np.asarray(info.get("gt_boxes",
                                     np.zeros((0, 9))), np.float32)
         names = list(info.get("gt_names", ()))
@@ -213,7 +214,7 @@ class NuScenesDataset:
         return {"frame_id": os.path.splitext(
                     os.path.basename(info["lidar_path"]))[0],
                 "token": info.get("token", ""),
-                "points": pts[inb], "gt_boxes": boxes,
+                "points": pts, "gt_boxes": boxes,
                 "gt_classes": classes,
                 "gt_names": [names[i] for i in sel]}
 

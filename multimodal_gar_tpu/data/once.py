@@ -18,6 +18,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .processor import mask_points_outside_range
+
 ONCE_CLASSES = ("Car", "Bus", "Truck", "Pedestrian", "Cyclist")
 SUPERCLASS = {"Car": "Vehicle", "Bus": "Vehicle", "Truck": "Vehicle"}
 
@@ -68,9 +70,8 @@ class OnceDataset:
         keep = [i for i, n in enumerate(names) if n in self.class_names]
         classes = np.asarray([self.class_names.index(names[i]) + 1
                               for i in keep], np.int32)
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
-        return {"frame_id": f"{seq}/{fid}", "points": pts[inb],
+        pts = mask_points_outside_range(pts, self.range)
+        return {"frame_id": f"{seq}/{fid}", "points": pts,
                 "gt_boxes": boxes[keep], "gt_classes": classes,
                 "gt_names": [names[i] for i in keep],
                 "pose": np.asarray(info.get("pose", []), np.float32)}

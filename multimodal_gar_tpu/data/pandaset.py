@@ -27,6 +27,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from .processor import mask_points_outside_range
+
 
 def _quat_to_matrix(w: float, x: float, y: float, z: float) -> np.ndarray:
     n = np.sqrt(w * w + x * x + y * y + z * z)
@@ -156,12 +158,11 @@ class PandasetDataset:
             names = raw_names
 
         sel = [i for i, n in enumerate(names) if n in self.class_names]
-        inb = np.all((pts[:, :3] >= self.range[:3])
-                     & (pts[:, :3] <= self.range[3:]), axis=1)
+        pts = mask_points_outside_range(pts, self.range)
         return {"frame_id": f"{info['sequence']}/{info['frame_idx']:02d}",
                 "sequence": info["sequence"],
                 "frame_idx": info["frame_idx"],
-                "points": pts[inb],
+                "points": pts,
                 "gt_boxes": boxes[sel] if len(sel)
                 else np.zeros((0, 7), np.float32),
                 "gt_classes": np.asarray(

@@ -64,7 +64,7 @@ class DataPipeline:
     def steps_per_epoch(self) -> int:
         n_batches = len(self.dataset) // self.batch_size if self.drop_last \
             else -(-len(self.dataset) // self.batch_size)
-        return max(n_batches // self.shard_count, 1)
+        return max(n_batches // max(self.shard_count, 1), 1)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -81,6 +81,14 @@ class DataPipeline:
                    for i in range(n_full)]
         if not self.drop_last and len(order) % self.batch_size:
             batches.append(order[n_full * self.batch_size:])
+        # every shard must yield the SAME number of batches — hosts run the
+        # train step in lockstep (the gradient all-reduce spans the mesh),
+        # so an unequal strided split would leave one host inside a
+        # collective the others never enter (hang). Truncate to a multiple
+        # of shard_count before sharding.
+        if self.shard_count > 1:
+            n_even = (len(batches) // self.shard_count) * self.shard_count
+            batches = batches[:max(n_even, 0)]
         my_batches = batches[self.shard_index::self.shard_count]
 
         if self.prefetch <= 0:
@@ -91,14 +99,28 @@ class DataPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that honors the stop flag — a plain q.put would
+            block forever when the consumer abandons the generator early
+            (shape warm-up, max_steps_per_epoch breaks), leaking the
+            thread and its queued device batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in my_batches:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(b))
+                    if not _put(self._make_batch(b)):
+                        return
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -110,3 +132,9 @@ class DataPipeline:
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer's final put can complete
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -33,7 +33,10 @@ def load_pcd(path: str, num_features: int = 4) -> np.ndarray:
     with open(path, "rb") as f:
         header = {}
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw = f.readline()
+            if not raw:                  # EOF before DATA: corrupt header
+                raise ValueError(f"truncated PCD header in {path!r}")
+            line = raw.decode("ascii", errors="replace").strip()
             if not line or line.startswith("#"):
                 continue
             key, _, rest = line.partition(" ")

@@ -28,6 +28,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from .processor import mask_points_outside_range
+
 WAYMO_CLASSES = ("Vehicle", "Pedestrian", "Cyclist")
 MAP_NAME_TO_KITTI = {"Vehicle": "Car", "Pedestrian": "Pedestrian",
                      "Cyclist": "Cyclist", "Sign": "Sign", "Car": "Car"}
@@ -210,9 +212,7 @@ class WaymoDataset:
             if load_pred:
                 out.update(roi_boxes=roi_boxes, roi_scores=roi_scores,
                            roi_labels=roi_labels)
-        inb = np.all((points[:, :3] >= self.range[:3])
-                     & (points[:, :3] <= self.range[3:]), axis=1)
-        out["points"] = points[inb]
+        out["points"] = mask_points_outside_range(points, self.range)
 
         annos = info.get("annos")
         if annos is not None:
@@ -251,7 +251,9 @@ class WaymoDataset:
             num_features=self.num_point_features)
 
     def evaluation(self, det_annos: Sequence[dict],
-                   eval_metric: str = "kitti") -> Dict[str, float]:
+                   eval_metric: str = "kitti",
+                   indices: Optional[Sequence[int]] = None
+                   ) -> Dict[str, float]:
         """'kitti' metric: map Waymo names to KITTI classes and run the
         R40 protocol on lidar boxes (waymo_dataset.evaluation:407-430).
         The official TF-based Waymo evaluator needs the SDK; the reference
@@ -260,8 +262,18 @@ class WaymoDataset:
             raise NotImplementedError(
                 "only the reference's 'kitti' eval mode is SDK-free")
         from ..eval.kitti_eval import FrameAnnotations, evaluate
+        # det_annos align POSITIONALLY with `indices` (default: all infos
+        # in order). Pass the real_indices from registry.det_batches when
+        # evaluating a shuffled/sharded subset — a bare zip against all
+        # infos would silently score detections against the wrong frames.
+        infos = (self.infos if indices is None
+                 else [self.infos[i] for i in indices])
+        if len(det_annos) != len(infos):
+            raise ValueError(
+                f"{len(det_annos)} det_annos vs {len(infos)} frames; pass "
+                "indices= to align a subset")
         frames = []
-        for det, info in zip(det_annos, self.infos):
+        for det, info in zip(det_annos, infos):
             annos = info.get("annos", {})
             g_names = [MAP_NAME_TO_KITTI.get(str(n), str(n))
                        for n in annos.get("name", [])]

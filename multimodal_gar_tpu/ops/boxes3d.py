@@ -207,7 +207,10 @@ def roiaware_pool3d(points: jnp.ndarray, features: jnp.ndarray,
         local = jnp.stack([lx, ly, lz], -1)
         half = box[3:6] / 2.0
         inside = jnp.all(jnp.abs(local) <= half, axis=-1)
-        cell = jnp.floor((local + half) / (2 * half / out_size))
+        # zero-extent (padded) boxes: 2*half/out_size is 0 and the division
+        # would produce NaN cells whose int cast scatters arbitrarily
+        cell_size = jnp.maximum(2 * half / out_size, 1e-6)
+        cell = jnp.floor((local + half) / cell_size)
         cell = jnp.clip(cell, 0, out_size - 1).astype(jnp.int32)
         flat = (cell[:, 0] * out_size + cell[:, 1]) * out_size + cell[:, 2]
         flat = jnp.where(inside, flat, g3)              # dump outside points
@@ -229,11 +232,17 @@ def roipoint_pool3d(points: jnp.ndarray, features: jnp.ndarray,
                     boxes: jnp.ndarray, num_sampled_points: int = 512):
     """First-k in-box raw points + features per box (roipoint_pool3d analogue).
 
-    Returns (pooled (N, K, 3+C), empty (N,) bool)."""
+    Slots beyond the in-box count are filled by CYCLING through the real
+    in-box points (reference roipoint_pool3d_kernel.cu:94-95:
+    ``pooled_idx[k] = k % cnt``) — zero-filling instead would feed fake
+    origin points into downstream per-ROI encoders (MPPNet, PointRCNN)
+    and shift their pooling statistics. Returns (pooled (N, K, 3+C),
+    empty (N,) bool)."""
     inside = points_in_boxes(points, boxes)                  # (P, N)
     p = points.shape[0]
     k_eff = min(num_sampled_points, p)
     order = jnp.arange(p, dtype=jnp.int32)
+    slot = jnp.arange(num_sampled_points, dtype=jnp.int32)
 
     def per_box(mask):
         priority = jnp.where(mask, order, p)
@@ -243,10 +252,12 @@ def roipoint_pool3d(points: jnp.ndarray, features: jnp.ndarray,
                 [pos, jnp.full((num_sampled_points - k_eff,), pos[0],
                                pos.dtype)])
         ok = priority[pos] < p
-        pos = jnp.where(ok, pos, pos[0])
+        cnt = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
+        # cyclic duplication of the real points over the empty slots
+        pos = jnp.take(pos, slot % cnt)
         pooled = jnp.concatenate([points[pos], features[pos]], axis=-1)
         empty = ~ok[0]
-        return jnp.where(empty, 0.0, pooled * ok[:, None]), empty
+        return jnp.where(empty, 0.0, pooled), empty
 
     return jax.vmap(per_box)(inside.T)
 

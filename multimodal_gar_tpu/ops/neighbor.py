@@ -13,6 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .geometry import safe_sqrt
+
 
 @partial(jax.jit, static_argnames=("nsample",))
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
@@ -55,7 +57,10 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
     if known_valid is not None:
         d2 = jnp.where(known_valid[None, :], d2, jnp.inf)
     neg, idx = jax.lax.top_k(-d2, 3)
-    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+    # safe_sqrt per CLAUDE.md: in FP paths every known point is also a
+    # query, so the nearest distance is exactly 0 and sqrt'(0)=inf would
+    # NaN any gradient through the interpolation weights
+    return safe_sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
 
 
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,

@@ -69,11 +69,17 @@ def fsdp_param_sharding(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_train_state(state: Any, mesh: Mesh) -> Any:
-    """Place a TrainState on the mesh: params/opt per the FSDP rule, rest
-    replicated."""
+    """Place a TrainState on the mesh: params AND optimizer moments per the
+    FSDP rule (Adam's m/v are 2x the param bytes — replicating them would
+    forfeit most of FSDP's memory savings), everything else replicated.
+    Optimizer leaves shaped like a parameter get that parameter's sharding;
+    scalars/counters replicate."""
     param_sh = fsdp_param_sharding(state.params, mesh)
-    opt_sh = jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P()), state.opt_state)
+
+    def opt_rule(x):
+        if hasattr(x, "ndim") and x.ndim > 0:
+            return fsdp_param_sharding(x, mesh)   # per-leaf rule
+        return replicated(mesh)
 
     def put(x, sh):
         return jax.device_put(x, sh)
@@ -83,6 +89,6 @@ def shard_train_state(state: Any, mesh: Mesh) -> Any:
         batch_stats=jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicated(mesh)), state.batch_stats),
         opt_state=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh)), state.opt_state),
+            lambda x: jax.device_put(x, opt_rule(x)), state.opt_state),
         step=jax.device_put(state.step, replicated(mesh)),
     )
