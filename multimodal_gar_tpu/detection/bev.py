@@ -96,9 +96,13 @@ class BaseBEVBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        def conv_bn_relu(h, ch, stride, name):
+        def conv_bn_relu(h, ch, stride, name, explicit_pad=False):
+            # the reference wraps each block's first conv in ZeroPad2d(1)
+            # (symmetric (1,1)); flax SAME pads (0,1) for stride 2 on even
+            # inputs, a one-pixel shift that breaks converted-weight parity.
+            pad = ((1, 1), (1, 1)) if explicit_pad else "SAME"
             h = nn.Conv(ch, (3, 3), strides=(stride, stride), use_bias=False,
-                        name=f"{name}_conv")(h)
+                        padding=pad, name=f"{name}_conv")(h)
             h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                              name=f"{name}_bn")(h)
             return nn.relu(h)
@@ -106,7 +110,8 @@ class BaseBEVBackbone(nn.Module):
         ups = []
         for i, (n_lay, stride, ch) in enumerate(
                 zip(self.layer_nums, self.layer_strides, self.num_filters)):
-            x = conv_bn_relu(x, ch, stride, f"block{i}_down")
+            x = conv_bn_relu(x, ch, stride, f"block{i}_down",
+                             explicit_pad=True)
             for k in range(n_lay):
                 x = conv_bn_relu(x, ch, 1, f"block{i}_l{k}")
             if self.upsample_strides:

@@ -44,6 +44,16 @@ def torch_conv2d_to_nhwc(val: np.ndarray) -> np.ndarray:
     return np.transpose(val, (2, 3, 1, 0))
 
 
+def bev_input_channel_perm(d: int, c: int) -> np.ndarray:
+    """Permutation mapping pcdet's c-major Z-folded BEV channels to ours.
+
+    HeightCompression views dense (N, C, D, H, W) as (N, C*D, H, W) — channel
+    index c*D+d — while sparse_to_dense_bev stacks d-major (d*C+c, bev.py:33).
+    Returns perm with new_in[d*C+c] = old_in[perm[d*C+c]] = old_in[c*D+d].
+    """
+    return (np.arange(c)[None, :] * d + np.arange(d)[:, None]).reshape(-1)
+
+
 # torch module path prefix -> (flax params path, kind)
 # kinds: sparse | conv2d | deconv2d | bn
 SECOND_NAME_MAP = {
@@ -156,6 +166,22 @@ def convert_pcdet_second(state_dict: Dict[str, np.ndarray],
             ok = _set_path(params, path, "kernel",
                            normalize_spconv_kernel(val, c_in, c_out), strict)
         elif kind == "conv2d" and leaf == "weight":
+            if base == "backbone_2d.blocks.0.1":
+                # first BEV conv consumes the Z-folded sparse_to_dense_bev
+                # map, which is d-major here vs pcdet's c-major
+                # HeightCompression view — permute the in-channel axis
+                # (ADVICE r2 high finding).
+                try:
+                    node = params
+                    for p in "trunk/conv_out/conv".split("/"):
+                        node = node[p]
+                    c_bev = node["kernel"].shape[-1]
+                except KeyError:
+                    c_bev = None
+                if c_bev is not None and val.shape[1] % c_bev == 0 \
+                        and val.shape[1] != c_bev:
+                    d_bev = val.shape[1] // c_bev
+                    val = val[:, bev_input_channel_perm(d_bev, c_bev)]
             ok = _set_path(params, path, "kernel",
                            torch_conv2d_to_nhwc(val), strict)
         elif kind == "deconv2d" and leaf == "weight":

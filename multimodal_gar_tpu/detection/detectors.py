@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from ..models.sparse_backbone import (SparseConv3dDown, SparseTensor,
@@ -40,7 +41,7 @@ from .dense_heads import (AnchorHeadConfig, AnchorHeadSingle, CenterHead,
                           CenterHeadConfig, anchor_head_loss,
                           center_head_loss, decode_anchor_preds,
                           decode_center_preds)
-from .post import NMSConfig, post_processing
+from .post import NMSConfig, class_agnostic_nms, post_processing
 from .target_assign import AnchorSet, build_anchor_set
 from .vfe import PillarVFE, mean_vfe
 
@@ -244,10 +245,16 @@ class CenterPointDetector(nn.Module):
         c = self.cfg
         scores, labels, boxes = decode_center_preds(
             preds, c.center_head, c.grid_size, c.voxel_size,
-            c.point_cloud_range, max_boxes=c.nms.nms_post_maxsize)
-        ok = scores >= c.nms.score_thresh
-        return {"boxes": boxes, "scores": jnp.where(ok, scores, 0.0),
-                "labels": labels * ok.astype(jnp.int32), "valid": ok}
+            c.point_cloud_range, max_boxes=min(c.nms.nms_pre_maxsize, 500))
+        # center_head.py:285 runs class_agnostic_nms on the decoded boxes;
+        # without it adjacent heatmap cells of one object emit duplicates.
+        def per_item(sc, bx, lb):
+            idx, s, v = class_agnostic_nms(sc, bx, c.nms)
+            return bx[idx], s, lb[idx], v
+
+        bx, sc, lb, vd = jax.vmap(per_item)(scores, boxes, labels)
+        return {"boxes": bx, "scores": sc,
+                "labels": lb * vd.astype(jnp.int32), "valid": vd}
 
 
 # ---------------------------------------------------------------------------

@@ -231,7 +231,9 @@ def roi_grid_points(rois: jnp.ndarray, grid_size: int) -> jnp.ndarray:
     g = grid_size
     idx = jnp.stack(jnp.meshgrid(jnp.arange(g), jnp.arange(g), jnp.arange(g),
                                  indexing="ij"), -1).reshape(-1, 3)  # (G3, 3)
-    idx = idx[:, ::-1]                                   # x, y, z fastest-x
+    # columns are (x, y, z) with x varying SLOWEST, matching the reference's
+    # nonzero() enumeration of a (g, g, g) ones tensor (get_dense_grid_points)
+    # so pooled-feature flattening lines up for weight-level parity.
     local = (idx + 0.5) / g                              # (G3, 3) in [0, 1]
     dims = rois[:, None, 3:6]
     pts = (local[None] - 0.5) * dims                     # centered local

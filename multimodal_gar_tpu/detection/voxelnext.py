@@ -228,9 +228,19 @@ class VoxelNeXtDetector(nn.Module):
                                     rot[:, None]], -1)
 
         boxes = jax.vmap(decode)(preds["bev_coords"], preds["reg"], vidx)
-        ok = scores >= c.nms.score_thresh
-        return {"boxes": boxes, "scores": jnp.where(ok, scores, 0.0),
-                "labels": cls * ok.astype(jnp.int32), "valid": ok}
+
+        # Even the "NMS-free" sparse head can emit duplicates from adjacent
+        # active BEV cells of one object; suppress them with the shared
+        # fixed-shape class-agnostic NMS (ADVICE r2 medium finding).
+        from .post import class_agnostic_nms
+
+        def per_item(sc, bx, lb):
+            idx, s, v = class_agnostic_nms(sc, bx, c.nms)
+            return bx[idx], s, lb[idx], v
+
+        bx, sc, lb, vd = jax.vmap(per_item)(scores, boxes, cls)
+        return {"boxes": bx, "scores": sc,
+                "labels": lb * vd.astype(jnp.int32), "valid": vd}
 
 
 @register_detector("VoxelNeXt")

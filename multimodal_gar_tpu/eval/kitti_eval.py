@@ -45,6 +45,21 @@ def bbox_iou_2d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                               1e-9)
 
 
+def bbox_inter_over_det(gt: np.ndarray, det: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) intersection / DETECTION area — the devkit's
+    ``boxoverlap(det, dontcare, criterion=0)`` used by the DontCare
+    stuff-area pass (bbox metric only)."""
+    if len(gt) == 0 or len(det) == 0:
+        return np.zeros((len(gt), len(det)), np.float32)
+    x1 = np.maximum(gt[:, None, 0], det[None, :, 0])
+    y1 = np.maximum(gt[:, None, 1], det[None, :, 1])
+    x2 = np.minimum(gt[:, None, 2], det[None, :, 2])
+    y2 = np.minimum(gt[:, None, 3], det[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    det_area = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])
+    return inter / np.maximum(det_area[None, :], 1e-9)
+
+
 def _rect_corners(box: np.ndarray) -> np.ndarray:
     """(7,) lidar box -> (4, 2) BEV corners."""
     dx, dy = box[3] / 2, box[4] / 2
@@ -149,8 +164,10 @@ def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
         if name == cls and 0 <= diff <= difficulty:
             care_g.append(True)
             ign_g.append(False)
-        elif name == cls or name in SIMILAR.get(cls, ()) \
-                or name == "DontCare":
+        elif name == cls or name in SIMILAR.get(cls, ()):
+            # DontCare is NOT in this ignored set: the devkit keeps DontCare
+            # regions out of GT-det assignment entirely and handles them only
+            # via the bbox-metric stuff-area pass below.
             care_g.append(False)
             ign_g.append(True)
         else:
@@ -162,7 +179,7 @@ def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
 
 def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
                  det_care, min_overlap: float, thresh: float,
-                 det_ignored=None, dontcare_rows=None):
+                 det_ignored=None, dc_overlap=None):
     """Matching at one score threshold -> (tp, fp, fn).
 
     Mirrors the devkit's compute_statistics with compute_fp=True
@@ -200,14 +217,16 @@ def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
             tp += 1
     det_ign = det_ignored if det_ignored is not None \
         else np.zeros(d, bool)
-    # DontCare absorb-all (devkit stuff pass): every unassigned detection
-    # overlapping ANY DontCare region escapes the FP count (one DontCare
-    # area may absorb many detections, unlike ignored same-class GTs)
+    # DontCare absorb-all (devkit stuff pass, bbox metric ONLY): every
+    # unassigned detection whose intersection/det-area with ANY DontCare
+    # region exceeds min_overlap escapes the FP count. ``dc_overlap`` is
+    # that (n_dontcare, D) criterion matrix — None for bev/3d metrics,
+    # where the devkit runs no stuff pass (DontCare has no 3D box).
     dc_hit = np.zeros(d, bool)
-    if dontcare_rows is not None and dontcare_rows.any():
+    if dc_overlap is not None and dc_overlap.size:
         for j in range(d):
             if det_care[j] and thresh_ok[j] and not assigned[j]:
-                if (iou[dontcare_rows, j] > min_overlap).any():
+                if (dc_overlap[:, j] > min_overlap).any():
                     dc_hit[j] = True
     fp = int((det_care & thresh_ok & ~assigned & ~det_ign & ~dc_hit).sum())
     return tp, fp, fn
@@ -252,6 +271,16 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
     mo = min_overlap if min_overlap is not None else MIN_OVERLAPS[cls]
     ious = _iou_for(frames, metric)
     parts = [_classify(f, cls, difficulty) for f in frames]
+    # devkit stuff pass exists only for the 2D bbox metric, with
+    # intersection/det-area as the criterion (boxoverlap criterion 0)
+    dc_overlaps = []
+    for f in frames:
+        if metric == "bbox":
+            dc_rows = np.asarray([n == "DontCare" for n in f.gt_names], bool)
+            dc_overlaps.append(bbox_inter_over_det(
+                f.gt_boxes[dc_rows], f.det_boxes))
+        else:
+            dc_overlaps.append(None)
     total_gt = sum(int(c.sum()) for c, _, _ in parts)
     if total_gt == 0:
         return {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS),
@@ -278,13 +307,12 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
     rec = np.zeros(N_SAMPLE_PTS)
     for k, t in enumerate(thresholds):
         tp = fp = fn = 0
-        for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
-            dc_rows = np.asarray([n == "DontCare" for n in f.gt_names],
-                                 bool)
+        for f, iou, dc_ov, (care_g, ign_g, det_care) in zip(
+                frames, ious, dc_overlaps, parts):
             a, b, c = _frame_stats(iou, f.det_scores, care_g, ign_g,
                                    det_care, mo, t,
                                    det_ignored=f.det_ignored,
-                                   dontcare_rows=dc_rows)
+                                   dc_overlap=dc_ov)
             tp, fp, fn = tp + a, fp + b, fn + c
         prec[k] = tp / max(tp + fp, 1)
         rec[k] = tp / max(tp + fn, 1)

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_gar_tpu.detection import build_detector
-from multimodal_gar_tpu.detection.convert import (convert_pcdet_second,
+from multimodal_gar_tpu.detection.convert import (bev_input_channel_perm,
+                                                  convert_pcdet_second,
                                                   normalize_spconv_kernel,
                                                   torch_conv2d_to_nhwc)
 from tests.test_detection import det_batch, tiny_voxel_cfg
@@ -32,6 +33,33 @@ def test_torch_conv2d_layout():
     out = torch_conv2d_to_nhwc(w)
     assert out.shape == (3, 3, 4, 8)
     np.testing.assert_array_equal(out[1, 2, 3, 5], w[5, 3, 1, 2])
+
+
+def test_bev_first_conv_forward_parity():
+    """Converted first-BEV-conv weights must compute the same map on our
+    d-major channel stacking (sparse_to_dense_bev) as torch does on pcdet's
+    c-major HeightCompression view — channel permute + explicit (1,1) pad."""
+    rng = np.random.default_rng(1)
+    B, C, D, H, W, CO = 1, 6, 2, 8, 8, 5
+    dense = rng.normal(size=(B, C, D, H, W)).astype(np.float32)
+    w_t = rng.normal(size=(CO, C * D, 3, 3)).astype(np.float32)
+    stride = 2
+
+    # pcdet: (B, C, D, H, W).view(B, C*D, H, W) then ZeroPad2d(1) + conv
+    x_torch = dense.reshape(B, C * D, H, W)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x_torch), jnp.asarray(w_t), (stride, stride),
+        [(1, 1), (1, 1)], dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    # ours: d-major NHWC stacking (bev.py sparse_to_dense_bev tail)
+    x_ours = np.transpose(dense, (0, 3, 4, 2, 1)).reshape(B, H, W, D * C)
+    w_ours = torch_conv2d_to_nhwc(w_t[:, bev_input_channel_perm(D, C)])
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x_ours), jnp.asarray(w_ours), (stride, stride),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ref), (0, 2, 3, 1)), np.asarray(got),
+        rtol=1e-4, atol=1e-4)
 
 
 def _fabricate_state_dict(variables, layer_nums):
