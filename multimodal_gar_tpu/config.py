@@ -86,6 +86,12 @@ class RGBBackboneConfig:
     two_stage_att: bool = False
     gat_module: bool = False
     i3d_checkpoint: Optional[str] = None   # converted Kinetics weights (.npz); None = random init
+    # TPU eval-path stem: Pallas im2col-GEMM kernel with folded BN+ReLU
+    # (ops/pallas/stem_conv.py); False = XLA space-to-depth stem.
+    pallas_stem: bool = True
+    # jax.checkpoint the I3D Inception modules in the backward pass
+    # (activation-HBM for recompute-FLOPs; enables larger train batches).
+    i3d_remat: bool = False
 
 
 @dataclass

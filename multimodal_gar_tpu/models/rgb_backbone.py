@@ -50,6 +50,8 @@ class RGBBackbone(nn.Module):
             valid = jnp.any(boxes != 0, axis=-1)
 
         feats = InceptionI3d(final_endpoint=self.cfg.i3d_endpoint,
+                             pallas_stem=self.cfg.pallas_stem,
+                             remat=self.cfg.i3d_remat,
                              dtype=self.dtype, name="i3d")(
             images, train=train and not self.cfg.i3d_freeze)
         if self.cfg.i3d_freeze:

@@ -2,131 +2,228 @@
 
 XLA's native lowering of the space-to-depth'd stem — a (7,4,4)/stride-
 (2,1,1) conv over 12 channels — is MXU lane-starved (contraction maps the
-12 input channels onto 128 lanes) and measures ~24 ms at the flagship
-working point; every XLA-level channel-folding rewrite tried (t2c, t-parity
-fold) was slower (docs/ROUND2_NOTES.md). This kernel performs the conv as
-an im2col GEMM with the patch matrix built in VMEM:
+12 input channels onto 128 lanes) and measures ~21 ms at the flagship
+working point (docs/ROUND2_NOTES.md); every XLA-level channel-folding
+rewrite tried (t2c, t-parity fold) was slower. This kernel performs the
+conv as an im2col GEMM with the patch matrix built in VMEM.
 
-  - grid (B, T_out, H/TH, W/TW); per program one (TH*TW, 64) output tile;
-  - the (7, TH+3, TW+3, 12) input window is DMA'd to VMEM once;
-  - per temporal tap dt, a (TH*TW, 16*16) patch chunk is assembled from
-    the 16 spatial shifts (each 12 channels padded to a 16-lane slot so
-    writes stay lane-aligned) and contracted against the matching
-    (256, 64) weight slice on the MXU — contraction 256 instead of 12.
+Round-2's first attempt was rejected by Mosaic: DMA windows with an
+unaligned trailing dim — (7, 11, 131, 12) slices — fail to lower, while
+lane-aligned windows compile (empirically bisected). This rewrite uses the
+lane-friendly layout that bisection pointed to:
 
-Numerics: pure f32, bit-comparable to the XLA path up to dot-product
-association order.
+  - input is pre-transposed (XLA-side) to (B, T_pad, H_pad, C16, W_pad):
+    channels on the SUBLANE axis (12 padded to 16), W on the LANE axis
+    (padded to a 128 multiple), so every DMA window is
+    (7, 11, 16, n+128) with 128-aligned lane starts;
+  - per program (one (b, t_out, h-block-of-8, w-chunk)): the window is
+    DMA'd once, then for each of 4 output ROW PAIRS a (K, n) patch is
+    assembled from FOUR merged copies (one per dj lane-shift; the
+    (kt, 5, 16, n) window slice merges its leading dims into sublanes
+    layout-naturally — 140 per-slot copies measured pure overhead);
+  - one logical GEMM per pair: (128, K) @ (K, n) where the 128 M-rows are
+    [row r (x) 64 cout | row r+1 (x) 64 cout] — the weight matrix is
+    extended over di in [0,5) with the second row's taps shifted one slot,
+    so both M and N run at full MXU tile width (a lone 64-channel output
+    would idle half the systolic array);
+  - the f32 x f32 product runs as a MANUAL 3-pass bf16 split
+    (hi/lo error-compensated: a_hi p_hi + a_hi p_lo + a_lo p_hi, f32
+    accumulation). Mosaic's f32 dot is a 6-pass emulation and rejects
+    Precision.HIGH; the explicit split halves MXU time at ~1e-5 relative
+    error — two decades inside the 1e-3 parity budget. Inputs are
+    pre-split host-side so the kernel never touches f32 activations;
+  - optional fused affine+ReLU epilogue (folded inference BatchNorm).
 
-STATUS: logic-validated (interpret-mode parity vs lax.conv, tested in
-tests/test_pallas.py) but NOT on the active path. Mosaic requires DMA
-slices with tile-aligned trailing dims (verified empirically: (7, 11,
-131, 12) windows fail to lower; (7, 16, 1664) flattened-lane windows
-compile), so the production version needs the (T, H, W*C) flattened-lane
-layout plus per-tap lane-shifted patch extraction — measured-cost unknown
-and left for a future round. models/i3d.py keeps the XLA s2d stem
-(~24 ms at flagship shapes) meanwhile.
+K = 4 * 7 * 5 * 16 = 2240, dj-major (vs 1344 real taps: x1.25 from the
+di-pair extension, x1.33 from the 12->16 channel slot padding).
+
+Matches the Unit3D stem semantics of reference model/backbone.py:134-206
+(after models/i3d.py's exact space-to-depth rewrite of the 7^3 stem).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SLOT = 16        # lane-aligned per-tap channel slot (12 real + 4 zero)
+_CSLOT = 16       # sublane-aligned channel slot (12 real + 4 zero)
+_HBLK = 8         # output rows per program
+_NMAX = 640       # max output columns per w-chunk (5 lane tiles)
 
 
-def _stem_kernel(x_ref, w_ref, o_ref, xs, patch, acc, sem,
-                 *, th: int, tw: int, kt: int, ks: int, cin: int):
-    """One (th*tw, cout) output tile.
+def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
+                 xs_h, xs_l, p_h, p_l, sem, *,
+                 kt: int, ks: int, n: int, ws: int, fuse: bool, cout: int):
+    """One (8 rows, n cols, cout) output block.
 
-    x_ref: HBM (T_pad, H_pad, W_pad, cin); w_ref: VMEM (kt, ks*ks*_SLOT,
-    cout); o_ref: VMEM block (1, th, tw, cout); xs: VMEM scratch
-    (kt, th+ks-1, tw+ks-1, cin); patch: VMEM (th*tw, ks*ks*_SLOT);
-    acc: VMEM (th*tw, cout).
+    xh/xl_ref: HBM (B, T_pad, H_pad, 16, W_pad) bf16 hi/lo halves;
+    ah/al_ref: VMEM (2*cout, K) bf16 weight halves; sc/bi_ref: VMEM
+    (2*cout, 128) f32 folded affine (col 0 used, scale/bias duplicated over
+    the row-pair halves); o_ref: VMEM block (1, 1, 8, n, cout) f32;
+    xs_h/xs_l: VMEM (kt, 11, 16, n+128) bf16 — exactly the 8 + ks - 1 H
+    rows the block reads (H is not a tiled dim, so no sublane rounding; a
+    16-row window measured a VMEM OOM at n=640); p_h/p_l: VMEM (K, n) bf16.
     """
     bb = pl.program_id(0)
-    t = pl.program_id(1)
-    i = pl.program_id(2)
-    j = pl.program_id(3)
+    tt = pl.program_id(1)
+    hh = pl.program_id(2)
 
-    dma = pltpu.make_async_copy(
-        x_ref.at[bb, pl.ds(2 * t, kt), pl.ds(i * th, th + ks - 1),
-                 pl.ds(j * tw, tw + ks - 1), :],
-        xs, sem)
-    dma.start()
-    dma.wait()
+    hwin = _HBLK + ks - 1
+    dma_h = pltpu.make_async_copy(
+        xh_ref.at[bb, pl.ds(2 * tt, kt), pl.ds(hh * _HBLK, hwin), :,
+                  pl.ds(ws, n + 128)], xs_h, sem.at[0])
+    dma_l = pltpu.make_async_copy(
+        xl_ref.at[bb, pl.ds(2 * tt, kt), pl.ds(hh * _HBLK, hwin), :,
+                  pl.ds(ws, n + 128)], xs_l, sem.at[1])
+    dma_h.start()
+    dma_l.start()
+    dma_h.wait()
+    dma_l.wait()
 
-    # zero the patch once: the 4 pad lanes of each 16-lane slot are never
-    # written and must not hold garbage (0 * NaN would poison the dot)
-    patch[:] = jnp.zeros_like(patch)
-    acc[:] = jnp.zeros_like(acc)
-    for dt in range(kt):
-        for di in range(ks):
-            for dj in range(ks):
-                s = di * ks + dj
-                blk = xs[dt, di:di + th, dj:dj + tw, :]
-                patch[:, pl.ds(s * _SLOT, cin)] = blk.reshape(th * tw, cin)
-        acc[:] += jnp.dot(patch[:], w_ref[dt],
-                          preferred_element_type=jnp.float32)
-    o_ref[0, 0] = acc[:].reshape(th, tw, o_ref.shape[-1])
+    ndi = ks + 1
+    blk = kt * ndi * _CSLOT
+    for p in range(_HBLK // 2):
+        r = 2 * p
+        for dj in range(ks):
+            rows = pl.ds(dj * blk, blk)
+            p_h[rows, :] = xs_h[:, r:r + ndi, :, dj:dj + n].reshape(blk, n)
+            p_l[rows, :] = xs_l[:, r:r + ndi, :, dj:dj + n].reshape(blk, n)
+        res = jnp.dot(ah_ref[:], p_h[:], preferred_element_type=jnp.float32)
+        res += jnp.dot(ah_ref[:], p_l[:], preferred_element_type=jnp.float32)
+        res += jnp.dot(al_ref[:], p_h[:], preferred_element_type=jnp.float32)
+        if fuse:
+            # folded BN + ReLU on the GEMM layout (row-broadcast, cheap;
+            # doing this after the transpose measured +3.6 ms)
+            res = jnp.maximum(res * sc_ref[:, 0:1] + bi_ref[:, 0:1], 0.0)
+        o_ref[0, 0, r] = res[:cout].T                       # (n, cout)
+        o_ref[0, 0, r + 1] = res[cout:].T
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw"))
-def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
-                     th: int = 8, tw: int = 128) -> jnp.ndarray:
-    """s2d'd stem conv: xd (B, T, H', W', 12), w2 (7, 4, 4, 12, 64)
-    -> (B, T_out, H'-3, W'-3, 64) with temporal stride 2, pad (3, 3).
+def _build_a(w2: jnp.ndarray) -> jnp.ndarray:
+    """(kt, ks, ks, cin, cout) stem weights -> the (2*cout, K) pair GEMM
+    matrix in the kernel's dj-major K order (dj, dt, di5, c16): rows
+    [0, cout) carry taps at di slots [0, ks) (output row r), rows
+    [cout, 2*cout) the same taps at slots [1, ks+1) (row r+1)."""
+    kt, ks, _, cin, cout = w2.shape
+    wo = jnp.transpose(w2, (4, 2, 0, 1, 3))        # (cout, dj, kt, di, cin)
+    a = jnp.zeros((2 * cout, ks, kt, ks + 1, _CSLOT), w2.dtype)
+    a = a.at[:cout, :, :, :ks, :cin].set(wo)
+    a = a.at[cout:, :, :, 1:, :cin].set(wo)
+    return a.reshape(2 * cout, ks * kt * (ks + 1) * _CSLOT)
 
-    Matches jax.lax.conv_general_dilated(xd, w2, (2, 1, 1),
-    [(3, 3), (0, 0), (0, 0)]) (models/i3d.py:_stem_conv_s2d tail).
-    """
+
+def _split_hi_lo(x: jnp.ndarray):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fuse_affine", "interpret"))
+def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
+                    scale: Optional[jnp.ndarray],
+                    bias: Optional[jnp.ndarray],
+                    fuse_affine: bool = False,
+                    interpret: bool = False) -> jnp.ndarray:
     b, t, hp, wp, cin = xd.shape
     kt, ks, _, _, cout = w2.shape
+    assert cin <= _CSLOT and cout * 2 == 128, (cin, cout)
     ft = (kt - 1) // 2
     t_out = (t + 2 * ft - kt) // 2 + 1
     h_out = hp - (ks - 1)
     w_out = wp - (ks - 1)
-    n_h = -(-h_out // th)
-    n_w = -(-w_out // tw)
+    n_hb = -(-h_out // _HBLK)
+    h_pad = n_hb * _HBLK + _HBLK
 
-    # pad so tiles fit exactly (extra rows/cols computed then dropped)
-    hp_pad = n_h * th + ks - 1
-    wp_pad = n_w * tw + ks - 1
-    xp = jnp.pad(xd, ((0, 0), (ft, ft), (0, hp_pad - hp),
-                      (0, wp_pad - wp), (0, 0)))
+    # (B, T, H, W, C) -> (B, T_pad, H_pad, C16, W_pad), bf16 hi/lo halves
+    x5 = jnp.transpose(xd, (0, 1, 2, 4, 3))
+    # w chunks: each n_j <= _NMAX and 128-aligned; the last chunk is narrow
+    # rather than padding every chunk to a common width (MXU N-waste).
+    w_align = _round_up(w_out, 128)
+    n_w = -(-w_align // _NMAX)
+    chunk_ns = []
+    rem = w_align
+    for _ in range(n_w):
+        chunk_ns.append(min(_NMAX, rem))
+        rem -= chunk_ns[-1]
+    w_pad = w_align + 128                          # last window in bounds
+    x5 = jnp.pad(x5, ((0, 0), (ft, ft), (0, h_pad - hp),
+                      (0, _CSLOT - cin), (0, w_pad - wp)))
+    x_hi, x_lo = _split_hi_lo(x5)
 
-    # weights: (kt, ks*ks*_SLOT, cout), each tap in a 16-lane slot
-    wpad = jnp.pad(w2, ((0, 0), (0, 0), (0, 0), (0, _SLOT - cin), (0, 0)))
-    wk = wpad.reshape(kt, ks * ks * _SLOT, cout)
+    a_mat = _build_a(w2)
+    a_hi, a_lo = _split_hi_lo(a_mat)
+    k_dim = a_mat.shape[1]
+    if fuse_affine:
+        sc2 = jnp.tile(scale, 2)[:, None] * jnp.ones((1, 128), jnp.float32)
+        bi2 = jnp.tile(bias, 2)[:, None] * jnp.ones((1, 128), jnp.float32)
+    else:
+        sc2 = jnp.zeros((2 * cout, 128), jnp.float32)
+        bi2 = jnp.zeros((2 * cout, 128), jnp.float32)
 
-    kernel = functools.partial(_stem_kernel, th=th, tw=tw, kt=kt, ks=ks,
-                               cin=cin)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, t_out, n_h, n_w),
-        in_specs=[
-            pl.BlockSpec((b, t + 2 * ft, hp_pad, wp_pad, cin),
-                         lambda bb, tt, ii, jj: (0, 0, 0, 0, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((kt, ks * ks * _SLOT, cout),
-                         lambda bb, tt, ii, jj: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, th, tw, cout),
-            lambda bb, tt, ii, jj: (bb, tt, ii, jj, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_out, n_h * th, n_w * tw, cout),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((kt, th + ks - 1, tw + ks - 1, cin), jnp.float32),
-            pltpu.VMEM((th * tw, ks * ks * _SLOT), jnp.float32),
-            pltpu.VMEM((th * tw, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )(xp, wk)
-    return out[:, :, :h_out, :w_out, :]
+    chunks = []
+    ws = 0
+    for n_chunk in chunk_ns:
+        kernel = functools.partial(
+            _stem_kernel, kt=kt, ks=ks, n=n_chunk, ws=ws,
+            fuse=fuse_affine, cout=cout)
+        vec_spec = pl.BlockSpec((2 * cout, k_dim),
+                                lambda bb, tt, hh: (0, 0),
+                                memory_space=pltpu.VMEM)
+        aff_spec = pl.BlockSpec((2 * cout, 128), lambda bb, tt, hh: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, t_out, n_hb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                vec_spec, vec_spec, aff_spec, aff_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, _HBLK, n_chunk, cout),
+                lambda bb, tt, hh: (bb, tt, hh, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, t_out, n_hb * _HBLK, n_chunk, cout), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((kt, _HBLK + ks - 1, _CSLOT, n_chunk + 128),
+                           jnp.bfloat16),
+                pltpu.VMEM((kt, _HBLK + ks - 1, _CSLOT, n_chunk + 128),
+                           jnp.bfloat16),
+                pltpu.VMEM((k_dim, n_chunk), jnp.bfloat16),
+                pltpu.VMEM((k_dim, n_chunk), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(x_hi, x_lo, a_hi, a_lo, sc2, bi2)
+        chunks.append(out)
+        ws += n_chunk
+    full = chunks[0] if n_w == 1 else jnp.concatenate(chunks, axis=3)
+    return full[:, :, :h_out, :w_out, :]
+
+
+def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
+                     scale: Optional[jnp.ndarray] = None,
+                     bias: Optional[jnp.ndarray] = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """s2d'd stem conv: xd (B, T, H', W', 12), w2 (7, 4, 4, 12, 64)
+    -> (B, T_out, H'-3, W'-3, 64), temporal stride 2 / pad (3, 3).
+
+    Matches jax.lax.conv_general_dilated(xd, w2, (2, 1, 1),
+    [(3, 3), (0, 0), (0, 0)]) (models/i3d.py:_stem_conv_s2d tail) to ~1e-5
+    relative error (3-pass bf16 split, see module docstring); when
+    ``scale``/``bias`` are given the folded inference BatchNorm + ReLU
+    epilogue runs inside the kernel (relu(conv * scale + bias)).
+    """
+    fuse = scale is not None
+    return _stem_conv_impl(xd, w2, scale, bias, fuse_affine=fuse,
+                           interpret=interpret)

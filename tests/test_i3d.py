@@ -220,3 +220,61 @@ def test_s2d_stem_matches_direct_conv():
         assert fast.shape == direct.shape, (fast.shape, direct.shape)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(direct),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_unit3d_pallas_stem_matches_xla_path(monkeypatch):
+    """The integrated Pallas stem (interpret mode on CPU) must reproduce the
+    XLA conv+BN+ReLU stem with the SAME variable tree (BN fold check)."""
+    monkeypatch.setenv("MGAR_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 7, 20, 36, 3)).astype(np.float32))
+
+    mk = partial(Unit3D, out_channels=64, kernel=(7, 7, 7), stride=(2, 2, 2),
+                 s2d_stem=True)
+    m_ref = mk(pallas_stem=False)
+    m_pal = mk(pallas_stem=True)
+    variables = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial BN stats so the fold actually matters
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    variables["batch_stats"]["bn"]["mean"] = rng.normal(
+        size=(64,)).astype(np.float32) * 0.1
+    variables["batch_stats"]["bn"]["var"] = rng.uniform(
+        0.5, 2.0, size=(64,)).astype(np.float32)
+    variables["params"]["bn"]["scale"] = rng.normal(
+        size=(64,)).astype(np.float32)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    ref = m_ref.apply(variables, x, train=False)
+    got = m_pal.apply(variables, x, train=False)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+    # identical variable trees: pallas path init must create the same tree
+    v2 = m_pal.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v2) == \
+        jax.tree_util.tree_structure(variables)
+
+
+def test_i3d_remat_same_outputs_and_grads():
+    """remat=True must be numerically identical (forward AND grads) — it only
+    changes what's stored vs recomputed in the backward pass."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 7, 16, 16, 3)).astype(np.float32))
+    m0 = InceptionI3d(final_endpoint="Mixed_3b", remat=False)
+    m1 = InceptionI3d(final_endpoint="Mixed_3b", remat=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m, variables):
+        def f(p):
+            out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = loss(m0, v)
+    l1, g1 = loss(m1, v)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,0 +1,93 @@
+"""Hardware parity + timing for the Pallas stem-conv kernel (real TPU).
+
+Usage: python tools/bench_stem.py          # flagship shapes
+Prints XLA-vs-Pallas max error and chained-iteration timings for both the
+XLA s2d stem and the Pallas kernel (plain and fused-affine variants).
+Timing methodology: K chained iterations inside one jit (each branch input
+data-dependent on the previous output) minus the k=1 time — see bench.py.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_gar_tpu.ops.pallas.stem_conv import stem_conv_pallas
+
+
+def _chained(fn, x, k):
+    def body(c, _):
+        o = fn(c)
+        # fold output back into an input-shaped carry, data-dependent
+        return (x + o.mean() * 1e-12).astype(x.dtype), None
+
+    @jax.jit
+    def run(x0):
+        c, _ = jax.lax.scan(body, x0, None, length=k)
+        return c.sum()
+
+    run(x).block_until_ready()
+    t0 = time.perf_counter()
+    float(run(x))
+    return time.perf_counter() - t0
+
+
+def time_fn(fn, x, iters=8):
+    tk = _chained(fn, x, iters + 1)
+    t1 = _chained(fn, x, 1)
+    return (tk - t1) / iters
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # flagship post-s2d shape: (1, 15, 363, 643, 12)
+    xd = jnp.asarray(rng.normal(size=(1, 15, 363, 643, 12))
+                     .astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(7, 4, 4, 12, 64))
+                     .astype(np.float32) * 0.05)
+    sc = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    def xla_conv(prec):
+        return jax.jit(lambda x: jax.lax.conv_general_dilated(
+            x, w2, (2, 1, 1), [(3, 3), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=prec))
+
+    xla = xla_conv(jax.lax.Precision.HIGHEST)     # exact-f32 reference
+    pal = jax.jit(lambda x: stem_conv_pallas(x, w2))
+    pal_fused = jax.jit(lambda x: stem_conv_pallas(x, w2, scale=sc, bias=bi))
+
+    ref = np.asarray(xla(xd))
+    denom = np.abs(ref).max()
+    for name, f in [("xla DEFAULT(1xbf16)", xla_conv(jax.lax.Precision.DEFAULT)),
+                    ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
+                    ("pallas 3xbf16", pal)]:
+        err = np.abs(np.asarray(f(xd)) - ref).max() / denom
+        print(f"parity {name}: rel max err = {err:.2e}")
+    assert np.abs(np.asarray(pal(xd)) - ref).max() / denom < 1e-3, \
+        "hardware parity FAILED"
+
+    fused_ref = np.maximum(ref * np.asarray(sc) + np.asarray(bi), 0.0)
+    fused_got = np.asarray(pal_fused(xd))
+    errf = np.abs(fused_got - fused_ref).max() / np.abs(fused_ref).max()
+    print(f"fused parity: rel max err = {errf:.2e}")
+    assert errf < 1e-3, "fused parity FAILED"
+
+    for name, f in [("xla exact (HIGHEST)", xla),
+                    ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
+                    ("xla DEFAULT(1xbf16)", xla_conv(jax.lax.Precision.DEFAULT)),
+                    ("pallas 3xbf16", pal),
+                    ("pallas 3xbf16+affine", pal_fused)]:
+        t = time_fn(f, xd)
+        print(f"{name:22s}{t * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
