@@ -65,6 +65,22 @@ def double_flip(points: np.ndarray):
     return yflip, xflip, xyflip
 
 
+def downsample_depth_map(depth_map: np.ndarray, factor: int) -> np.ndarray:
+    """Block-mean downscale of a (H, W) depth map
+    (data_processor.downsample_depth_map:221-230, which wraps skimage's
+    downscale_local_mean — CaDDN's image-branch input prep). Edge blocks are
+    zero-padded before averaging, matching downscale_local_mean(cval=0).
+    """
+    h, w = depth_map.shape[:2]
+    hp = -(-h // factor) * factor
+    wp = -(-w // factor) * factor
+    pad = [(0, hp - h), (0, wp - w)] + [(0, 0)] * (depth_map.ndim - 2)
+    x = np.pad(depth_map, pad)
+    x = x.reshape((hp // factor, factor, wp // factor, factor)
+                  + x.shape[2:])
+    return x.mean(axis=(1, 3))
+
+
 class ProcessorChain:
     """Named-processor chain built from config dicts (DataProcessor parity)."""
 
@@ -90,6 +106,9 @@ class ProcessorChain:
                     points, step["NUM_POINTS"], self.rng)
             elif name == "transform_points_to_voxels":
                 pass   # handled by data/voxelizer.py downstream
+            elif name == "downsample_depth_map":
+                pass   # applies to depth maps, not points; see
+                # downsample_depth_map() used by the CaDDN image path
             else:
                 raise KeyError(f"unknown processor {name!r}")
         return points

@@ -256,11 +256,12 @@ class WaymoDataset:
                    ) -> Dict[str, float]:
         """'kitti' metric: map Waymo names to KITTI classes and run the
         R40 protocol on lidar boxes (waymo_dataset.evaluation:407-430).
-        The official TF-based Waymo evaluator needs the SDK; the reference
-        offers this mode as its SDK-free alternative."""
+        'waymo' metric: the official AP/APH protocol, reimplemented
+        SDK-free from the public spec (eval/waymo_eval.py)."""
+        if eval_metric == "waymo":
+            return self._evaluation_waymo(det_annos, indices)
         if eval_metric != "kitti":
-            raise NotImplementedError(
-                "only the reference's 'kitti' eval mode is SDK-free")
+            raise NotImplementedError(eval_metric)
         from ..eval.kitti_eval import FrameAnnotations, evaluate
         # det_annos align POSITIONALLY with `indices` (default: all infos
         # in order). Pass the real_indices from registry.det_batches when
@@ -293,3 +294,35 @@ class WaymoDataset:
         kitti_classes = [MAP_NAME_TO_KITTI[c] for c in self.class_names
                          if c in MAP_NAME_TO_KITTI and c != "Sign"]
         return evaluate(frames, classes=kitti_classes)
+
+    def _evaluation_waymo(self, det_annos: Sequence[dict],
+                          indices: Optional[Sequence[int]] = None
+                          ) -> Dict[str, float]:
+        """Official Waymo AP/APH (waymo_eval.py:1-776 semantics), SDK-free."""
+        from ..eval.waymo_eval import WaymoFrame, evaluate
+
+        infos = (self.infos if indices is None
+                 else [self.infos[i] for i in indices])
+        if len(det_annos) != len(infos):
+            raise ValueError(
+                f"{len(det_annos)} det_annos vs {len(infos)} frames; pass "
+                "indices= to align a subset")
+        frames = []
+        for det, info in zip(det_annos, infos):
+            annos = info.get("annos", {})
+            names = [str(n) for n in annos.get("name", [])]
+            g = len(names)
+            frames.append(WaymoFrame(
+                gt_boxes=np.asarray(
+                    annos.get("gt_boxes_lidar", np.zeros((0, 7))),
+                    np.float32)[:, :7],
+                gt_types=names,
+                gt_difficulty=np.asarray(
+                    annos.get("difficulty", np.zeros(g)), np.int32),
+                gt_num_points=np.asarray(
+                    annos.get("num_points_in_gt", np.full(g, 6)), np.int64),
+                det_boxes=np.asarray(det["boxes_lidar"], np.float32)[:, :7],
+                det_types=[str(n) for n in det["name"]],
+                det_scores=np.asarray(det["score"], np.float32)))
+        classes = [c for c in self.class_names if c != "Sign"]
+        return evaluate(frames, classes=classes)

@@ -222,3 +222,17 @@ def test_world_flip_yaw_semantics():
     p2, b2 = random_world_flip(pts, boxes, ["x"], AlwaysFlip())
     expect_head = b2[0, :3] + [np.cos(b2[0, 6]), np.sin(b2[0, 6]), 0]
     np.testing.assert_allclose(p2[1], expect_head, atol=1e-6)
+
+
+def test_downsample_depth_map_block_mean():
+    import numpy as np
+    from multimodal_gar_tpu.data.processor import downsample_depth_map
+    d = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = downsample_depth_map(d, 2)
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+    # non-divisible edge: zero-padded mean (downscale_local_mean cval=0)
+    d2 = np.ones((3, 3), np.float32)
+    out2 = downsample_depth_map(d2, 2)
+    assert out2.shape == (2, 2)
+    np.testing.assert_allclose(out2, [[1.0, 0.5], [0.5, 0.25]])

@@ -215,3 +215,56 @@ def test_dataset_registry(tmp_path):
     b = list(det_batches(ds, 1, (0.4, 0.4, 0.5), 256, max_points=512,
                          max_gt=4, seed=1, epoch=3, rank=1, world=2))
     assert len(a) == 2 and len(b) == 2
+
+
+def test_offline_builders_roundtrip(tmp_path):
+    """create_kitti_infos -> create_groundtruth_database -> load_dbinfos
+    round-trip on a synthetic raw tree (kitti_dataset.py:150-471 parity)."""
+    import pickle
+
+    from multimodal_gar_tpu.data.builders import (
+        create_groundtruth_database, create_kitti_infos, load_dbinfos)
+
+    _make_kitti_tree(tmp_path)
+    # put dense points inside the Car box so the crop is non-empty
+    base = os.path.join(tmp_path, "training")
+    ds0 = KittiDataset(str(tmp_path), split="train")
+    box = ds0.frame(0)["gt_boxes"][0]
+    rng = np.random.default_rng(1)
+    extra = rng.uniform(-0.5, 0.5, size=(64, 4)).astype(np.float32)
+    extra[:, :3] += box[:3]
+    pts = np.fromfile(os.path.join(base, "velodyne", "000000.bin"),
+                      np.float32).reshape(-1, 4)
+    np.vstack([pts, extra]).tofile(
+        os.path.join(base, "velodyne", "000000.bin"))
+
+    paths = create_kitti_infos(str(tmp_path), splits=("train",))
+    with open(paths["train"], "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 1
+    annos = infos[0]["annos"]
+    # DontCare sorted to the tail with index -1, lidar boxes real-only
+    assert list(annos["name"]) == ["Car", "Pedestrian", "DontCare"]
+    assert list(annos["index"]) == [0, 1, -1]
+    assert annos["gt_boxes_lidar"].shape == (2, 7)
+    assert infos[0]["calib"]["P2"].shape == (4, 4)
+    assert annos["num_points_in_gt"][2] == -1      # DontCare sentinel
+    assert annos["num_points_in_gt"][0] >= 1       # planted points found
+    # adapter and builder agree on the lidar boxes
+    np.testing.assert_allclose(annos["gt_boxes_lidar"],
+                               ds0.frame(0)["gt_boxes"], atol=1e-5)
+
+    db_path = create_groundtruth_database(str(tmp_path), paths["train"])
+    db = load_dbinfos(db_path, root=str(tmp_path))
+    assert "Car" in db and db["Car"][0]["num_points_in_gt"] >= 1
+    e = db["Car"][0]
+    assert e["points"].shape == (e["num_points_in_gt"], 4)
+    # crops are center-relative: all inside the half-extent box
+    assert (np.abs(e["points"][:, 0]) <= e["box3d_lidar"][3]).all()
+
+    # the loaded database drives the GT-sampling augmentor
+    from multimodal_gar_tpu.data.augmentor import GTDatabaseSampler
+    sam = GTDatabaseSampler(db, {"Car": 2}, seed=0)
+    p2, b2, n2 = sam(np.zeros((8, 4), np.float32),
+                     np.zeros((0, 7), np.float32), np.asarray([]))
+    assert len(b2) >= 1 and (n2 == "Car").any()

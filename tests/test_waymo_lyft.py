@@ -230,3 +230,102 @@ def test_lyft_adapter(lyft_root):
     kitti_res = ds.evaluation(det_annos, eval_metric="kitti")
     assert kitti_res["Car_3d_easy"] > 0      # wiring; protocol tested
     assert "Cyclist_3d_easy" in kitti_res    # bicycle/motorcycle merge
+
+
+# ---------------------------------------------------------------------------
+# Official Waymo AP/APH protocol (eval/waymo_eval.py) — golden scenarios
+# ---------------------------------------------------------------------------
+
+def _wbox(x, y, heading=0.0, dims=(4.0, 2.0, 1.8)):
+    import numpy as np
+    return np.array([x, y, 1.0, dims[0], dims[1], dims[2], heading],
+                    np.float32)
+
+
+def _wframe(gt, det, gt_diff=None, gt_pts=None, det_scores=None,
+            gt_types=None, det_types=None):
+    import numpy as np
+    from multimodal_gar_tpu.eval.waymo_eval import WaymoFrame
+    gt = np.asarray(gt, np.float32).reshape(-1, 7)
+    det = np.asarray(det, np.float32).reshape(-1, 7)
+    g, d = len(gt), len(det)
+    return WaymoFrame(
+        gt_boxes=gt, gt_types=gt_types or ["Vehicle"] * g,
+        gt_difficulty=np.asarray(gt_diff if gt_diff is not None
+                                 else [1] * g, np.int32),
+        gt_num_points=np.asarray(gt_pts if gt_pts is not None
+                                 else [100] * g, np.int64),
+        det_boxes=det, det_types=det_types or ["Vehicle"] * d,
+        det_scores=np.asarray(det_scores if det_scores is not None
+                              else [0.9] * d, np.float32))
+
+
+def test_waymo_eval_perfect():
+    import pytest
+    from multimodal_gar_tpu.eval.waymo_eval import eval_class
+    frames = [_wframe([_wbox(i * 10, 0)], [_wbox(i * 10, 0)])
+              for i in range(4)]
+    res = eval_class(frames, "Vehicle", level=2)
+    assert res["ap"] == pytest.approx(100.0, abs=1e-6)
+    assert res["aph"] == pytest.approx(100.0, abs=1e-6)
+
+
+def test_waymo_eval_heading_flip_kills_aph_not_ap():
+    import numpy as np
+    import pytest
+    from multimodal_gar_tpu.eval.waymo_eval import eval_class
+    frames = [_wframe([_wbox(0, 0, 0.0)], [_wbox(0, 0, np.pi)])]
+    res = eval_class(frames, "Vehicle", level=2)
+    assert res["ap"] == pytest.approx(100.0, abs=1e-6)   # IoU unaffected
+    assert res["aph"] == pytest.approx(0.0, abs=1e-6)    # 1 - pi/pi = 0
+
+
+def test_waymo_eval_levels_and_point_reassignment():
+    import pytest
+    from multimodal_gar_tpu.eval.waymo_eval import eval_class
+    # GT0: difficulty unset, 100 pts -> L1. GT1: unset, 3 pts -> L2 only.
+    # Detector finds only GT0.
+    frames = [_wframe([_wbox(0, 0), _wbox(20, 0)], [_wbox(0, 0)],
+                      gt_diff=[0, 0], gt_pts=[100, 3])]
+    l1 = eval_class(frames, "Vehicle", level=1)
+    l2 = eval_class(frames, "Vehicle", level=2)
+    assert l1["ap"] == pytest.approx(100.0, abs=1e-6)    # L2 GT ignored
+    assert l2["ap"] == pytest.approx(50.0, abs=2.0)      # 1 of 2 found
+
+
+def test_waymo_eval_zero_point_gt_dropped_and_fp_counted():
+    import pytest
+    from multimodal_gar_tpu.eval.waymo_eval import eval_class
+    # zero-point GT dropped entirely; far detection is a pure FP scoring
+    # ABOVE the TP, so full recall is only reachable at precision 0.5
+    frames = [_wframe([_wbox(0, 0), _wbox(40, 0)],
+                      [_wbox(0, 0), _wbox(80, 0)],
+                      gt_pts=[100, 0], det_scores=[0.9, 0.95])]
+    res = eval_class(frames, "Vehicle", level=2)
+    # num_gt=1; cutoffs <= 0.9: tp=1 fp=1 -> p=0.5 r=1; above: tp=0
+    assert res["ap"] == pytest.approx(50.0, abs=2.0)
+
+
+def test_waymo_eval_hungarian_duplicate_suppression():
+    import pytest
+    from multimodal_gar_tpu.eval.waymo_eval import eval_class
+    # two near-identical dets on one GT: only one matches, other is FP
+    frames = [_wframe([_wbox(0, 0)],
+                      [_wbox(0, 0), _wbox(0.05, 0)],
+                      det_scores=[0.9, 0.85])]
+    res = eval_class(frames, "Vehicle", level=2)
+    # cutoffs <= 0.85: tp=1 fp=1 (p=.5); cutoffs in (.85,.9]: tp=1 fp=0
+    assert res["ap"] == pytest.approx(100.0, abs=1e-6)   # r=1 @ p=1 exists
+
+
+def test_waymo_evaluate_table_and_adapter_mode():
+    import numpy as np
+    from multimodal_gar_tpu.eval.waymo_eval import evaluate
+    frames = [_wframe([_wbox(0, 0)], [_wbox(0, 0)]),
+              _wframe([_wbox(0, 10, 0.2, dims=(0.9, 0.9, 1.7))],
+                      [_wbox(0, 10, 0.2, dims=(0.9, 0.9, 1.7))],
+                      gt_types=["Pedestrian"], det_types=["Pedestrian"])]
+    table = evaluate(frames, classes=("Vehicle", "Pedestrian"))
+    assert table["Vehicle_L2_AP"] == 100.0
+    assert table["Pedestrian_L1_APH"] == 100.0
+    assert "mean_L2_APH" in table
