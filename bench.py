@@ -65,7 +65,8 @@ def _serialize(b, s):
                      boxes3d=b.boxes3d + (0.0 * s).astype(b.boxes3d.dtype))
 
 
-def build_eval(batch_size: int = 1, dtype: str = "float32"):
+def build_eval(batch_size: int = 1, dtype: str = "float32",
+               chunk: int | None = None):
     import jax
 
     from multimodal_gar_tpu.models import MGAR
@@ -74,13 +75,29 @@ def build_eval(batch_size: int = 1, dtype: str = "float32"):
     cfg = flagship_config(dtype=dtype)
     batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
     model = MGAR(cfg)
+    init_b = batch if chunk is None else jax.tree_util.tree_map(
+        lambda x: x[:chunk], batch)
     variables = jax.jit(partial(model.init, train=False))(
-        jax.random.PRNGKey(0), batch)
+        jax.random.PRNGKey(0), init_b)
 
     # Parameters as explicit args (NOT a closure): closed-over arrays become
     # HLO constants re-uploaded by the remote transport every call (~2.4 s).
-    def fn(variables, batch):
-        return model.apply(variables, batch, train=False)
+    if chunk is None:
+        def fn(variables, batch):
+            return model.apply(variables, batch, train=False)
+    else:
+        # batch sizes whose monolithic program exceeds HBM run as a
+        # lax.map over sub-batches: one compiled program, peak activation
+        # memory of a `chunk`-clip forward (eval stores no residuals, so
+        # remat has nothing to free — chunking IS the eval-side fix).
+        assert batch_size % chunk == 0
+
+        def fn(variables, batch):
+            folded = jax.tree_util.tree_map(
+                lambda x: x.reshape((batch_size // chunk, chunk)
+                                    + x.shape[1:]), batch)
+            return jax.lax.map(
+                lambda b: model.apply(variables, b, train=False), folded)
 
     return fn, variables, batch
 
@@ -94,7 +111,7 @@ def _chain_eval(fn):
         def body(i, carry):
             b, acc = carry
             out = fn(variables, b)
-            s = out.card[0, 0]
+            s = out.card.ravel()[0]
             return (_serialize(b, s), acc + s)
 
         _, acc = jax.lax.fori_loop(0, k, body, (batch, jnp.float32(0)))
@@ -111,9 +128,9 @@ def _timed(chained, args, k: int, iters: int = 3) -> float:
 
 
 def eval_throughput(batch_size: int, dtype: str = "float32",
-                    k: int | None = None) -> float:
+                    k: int | None = None, chunk: int | None = None) -> float:
     """clips/sec at the flagship config; raises on OOM."""
-    fn, variables, batch = build_eval(batch_size, dtype)
+    fn, variables, batch = build_eval(batch_size, dtype, chunk=chunk)
     chained = _chain_eval(fn)
     if k is None:
         k = max(8, 40 // batch_size)
@@ -191,10 +208,25 @@ def main():
         print(f"cpu baseline clips/s: {cps:.4f}")
         return
 
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     quick = "--quick" in sys.argv
     sweep = {}
+    chunked = {}
     for b in ([1] if quick else [1, 2, 4, 8]):
         sweep[str(b)] = _try(eval_throughput, b)
+        if sweep[str(b)] is None and b > 1:
+            # monolithic program exceeds HBM: lax.map over sub-batches
+            for ch in (4, 2, 1):
+                if ch >= b:
+                    continue
+                v = _try(eval_throughput, b, chunk=ch)
+                if v is not None:
+                    sweep[str(b)] = v
+                    chunked[str(b)] = ch
+                    break
 
     measured = {int(k): v for k, v in sweep.items() if v}
     if not measured:
@@ -207,6 +239,8 @@ def main():
     best = measured[best_b]
 
     detail = {"eval_clips_per_sec": sweep, "best_batch": best_b}
+    if chunked:
+        detail["eval_chunked_batches"] = chunked
     if not quick:
         detail["eval_bf16_clips_per_sec_best_batch"] = _try(
             eval_throughput, best_b, "bfloat16")

@@ -225,3 +225,163 @@ def test_masked_bce_matches_torch_bceloss_mean():
     ref = float(torch.nn.BCELoss()(torch.from_numpy(pred[0, :4]),
                                    torch.from_numpy(target[0, :4])))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 7. FULL composed forward: GAR_Fusion_Net3 (gat_model.py:1130-1699)
+# ---------------------------------------------------------------------------
+#
+# The module-level tests above cannot catch inter-module wiring mistakes
+# (BN placement, which features feed which head, A_theta assembly order).
+# This test replays the reference's ENTIRE eval-mode forward for the active
+# config (Multi + Attention_mat + FEAT_NORM + EUCLIDEAN + ind_action_concat
+# + sim=cosine) in torch-style numpy/torch code, transplants the SAME
+# weights into GARFusionNet, and asserts every output head agrees.
+
+def _torch_linear(x, dense):
+    return x @ _t(dense["kernel"]) + _t(dense["bias"])
+
+
+def _torch_bn1d_eval(x, p, s):
+    """nn.BatchNorm1d eval: running stats, eps=1e-5 (gat_model.py:1403-1405)."""
+    return (x - _t(s["mean"])) / torch.sqrt(_t(s["var"]) + 1e-5) \
+        * _t(p["scale"]) + _t(p["bias"])
+
+
+def _torch_head(x, p, act):
+    """Linear(., 512) -> ReLU -> Dropout(eval) -> Linear(512, k) -> act
+    (gat_model.py:1152-1170)."""
+    h = torch.relu(_torch_linear(x, p["Dense_0"]))
+    o = _torch_linear(h, p["Dense_1"])
+    return torch.softmax(o, dim=1) if act == "softmax" else torch.sigmoid(o)
+
+
+def test_gar_fusion_net3_full_forward_parity():
+    from multimodal_gar_tpu.config import Config
+    from multimodal_gar_tpu.models.mgar import GARFusionNet
+
+    n, mnp, d = 6, 8, 512
+    rng = np.random.default_rng(7)
+    rgb = np.zeros((1, mnp, d), np.float32)
+    lidar = np.zeros((1, mnp, d), np.float32)
+    rgb[0, :n] = rng.normal(size=(n, d)) * 0.5
+    lidar[0, :n] = rng.normal(size=(n, d)) * 0.5
+    boxes2d = np.zeros((1, mnp, 4), np.float32)
+    xy = rng.uniform(0, 600, size=(n, 2))
+    boxes2d[0, :n] = np.concatenate([xy, xy + rng.uniform(20, 80, (n, 2))], -1)
+    boxes3d = np.zeros((1, mnp, 7), np.float32)
+    boxes3d[0, :n, :3] = rng.uniform(-6, 6, (n, 3))
+    valid = np.zeros((1, mnp), bool)
+    valid[0, :n] = True
+
+    cfg = Config()
+    mcfg = cfg.model            # Multi/Attention_mat/feat_norm/euclidean/
+    assert mcfg.fusion.fusion == "Attention_mat"    # ind_action_concat
+    net = GARFusionNet(mcfg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                         jnp.asarray(lidar), jnp.asarray(boxes2d),
+                         jnp.asarray(boxes3d), jnp.asarray(valid),
+                         train=False)
+    # non-trivial BN running stats (init stats are identity)
+    v = jax.tree_util.tree_map(np.asarray, variables)
+    for bn in ("bn_rgb", "bn_lidar"):
+        v["batch_stats"][bn]["BatchNorm_0"]["mean"] = \
+            rng.normal(size=(d,)).astype(np.float32) * 0.1
+        v["batch_stats"][bn]["BatchNorm_0"]["var"] = \
+            rng.uniform(0.5, 2.0, size=(d,)).astype(np.float32)
+        v["params"][bn]["BatchNorm_0"]["scale"] = \
+            rng.normal(size=(d,)).astype(np.float32)
+        v["params"][bn]["BatchNorm_0"]["bias"] = \
+            rng.normal(size=(d,)).astype(np.float32) * 0.1
+    variables = jax.tree_util.tree_map(jnp.asarray, v)
+    out = net.apply(variables, jnp.asarray(rgb), jnp.asarray(lidar),
+                    jnp.asarray(boxes2d), jnp.asarray(boxes3d),
+                    jnp.asarray(valid), train=False)
+    p = v["params"]
+    s = v["batch_stats"]
+
+    # ---- torch replay of gat_model.py:1396-1675, batch item 0, eval ----
+    R = _t(rgb[0, :n])
+    L = _t(lidar[0, :n])
+    bb2 = _t(boxes2d[0, :n])
+    bb3 = _t(boxes3d[0, :n, :3])
+
+    # FEAT_NORM (:1403-1405)
+    R = _torch_bn1d_eval(R, p["bn_rgb"]["BatchNorm_0"],
+                         s["bn_rgb"]["BatchNorm_0"])
+    L = _torch_bn1d_eval(L, p["bn_lidar"]["BatchNorm_0"],
+                         s["bn_lidar"]["BatchNorm_0"])
+
+    # Dg / De (:1472-1473)
+    dg = _torch_generalized_box_iou(bb2, bb2)
+    de = torch.cdist(bb3, bb3)
+    de.fill_diagonal_(0.0)
+
+    # DAFM: 2 x FusionAttention_mat, max merge (:1475-1479)
+    e_r = torch.softmax(-de / mcfg.fusion.sigma, dim=1)
+    rp, lp = R, L
+    for i in range(2):
+        lay = p["dafm"][f"layer_{i}"]
+        rp2 = _torch_dafm_stream(lp, rp, e_r, lay["stream_r"], d)
+        lp2 = _torch_dafm_stream(rp, lp, e_r, lay["stream_l"], d)
+        rp, lp = rp2, lp2
+    fused = torch.maximum(rp, lp)
+
+    # Dv = cosine similarity of fused (:1283-1340, cosine branch)
+    fn = fused / fused.norm(dim=1, keepdim=True).clamp_min(1e-8)
+    dv = fn @ fn.T
+
+    # EUCLIDEAN A_theta = sigmoid(Linear(2->1)(cat(Dv, Dg))) (:1554-1564)
+    dvg = torch.stack([dv, dg], dim=-1)
+    a_theta = torch.sigmoid(
+        _torch_linear(dvg.reshape(-1, 2), p["D_embed"])).reshape(n, n)
+    a_theta.fill_diagonal_(1.0)                     # eval (:1576-1577)
+
+    # group decode (:1580-1592): first nonzero col of thresholded rows
+    sg_pred = (a_theta >= 0.5).float()
+    group_id = torch.tensor([row.nonzero()[0][0].item() for row in sg_pred])
+
+    # group max pooling (:1606-1614)
+    sg_features = fused.clone()
+    for key in torch.unique(group_id):
+        idx = torch.where(group_id == key)[0]
+        pool = fused[idx].max(dim=0, keepdim=True)[0]
+        sg_features[idx] = pool.repeat(len(idx), 1)
+
+    # ind_action_concat (:1621-1627): heads eat cat(post-BN RGB, LiDAR)
+    res_feature = torch.cat([R, L], dim=-1)
+
+    pose = [_torch_head(res_feature, p[f"pose_head_{i+1}"], "softmax")
+            for i in range(3)]
+    intr = [_torch_head(res_feature, p[f"intrctn_head_{i+1}"], "sigmoid")
+            for i in range(4)]
+    sg_pose = [_torch_head(sg_features, p[f"SG_pose_head_{i+1}"], "sigmoid")
+               for i in range(3)]
+    sg_intr = [_torch_head(sg_features, p[f"SG_intrctn_head_{i+1}"],
+                           "sigmoid") for i in range(4)]
+
+    # card_net (:1666-1670): max-pooled fused + A_theta sum
+    card_in = torch.cat([fused.max(dim=0, keepdim=True)[0],
+                         a_theta.sum().reshape(1, 1)], dim=1)
+    card = _torch_linear(torch.relu(
+        _torch_linear(card_in, p["card_net_0"])), p["card_net_1"])
+
+    # ---- assertions (valid block only) ----
+    atol = 2e-4                  # two LN/softmax stacks deep
+    np.testing.assert_allclose(np.asarray(out.a_theta[0, :n, :n]),
+                               a_theta.numpy(), atol=atol)
+    assert (np.asarray(out.group_ids[0, :n]) == group_id.numpy()).all()
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out.pose[i][0, :n]),
+                                   pose[i].numpy(), atol=atol)
+        np.testing.assert_allclose(np.asarray(out.sg_pose[i][0, :n]),
+                                   sg_pose[i].numpy(), atol=atol)
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(out.interaction[i][0, :n]),
+                                   intr[i].numpy(), atol=atol)
+        np.testing.assert_allclose(np.asarray(out.sg_interaction[i][0, :n]),
+                                   sg_intr[i].numpy(), atol=atol)
+    np.testing.assert_allclose(np.asarray(out.card[0]), card.numpy()[0],
+                               atol=atol)
+    # padded rows stay zeroed
+    assert np.abs(np.asarray(out.pose[0][0, n:])).max() == 0.0
