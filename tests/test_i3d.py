@@ -278,3 +278,37 @@ def test_i3d_remat_same_outputs_and_grads():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_unit3d_pallas_stem_differentiable(monkeypatch):
+    """The train step differentiates through the (frozen, eval-mode) stem;
+    the Pallas path must expose a working VJP (custom_vjp over the XLA
+    reference — pallas_call itself has no AD rule)."""
+    monkeypatch.setenv("MGAR_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 7, 12, 20, 3)).astype(np.float32))
+    m = Unit3D(out_channels=64, kernel=(7, 7, 7), stride=(2, 2, 2),
+               s2d_stem=True, pallas_stem=True)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def f(params, xx):
+        return m.apply({"params": params,
+                        "batch_stats": v["batch_stats"]}, xx,
+                       train=False).sum()
+
+    gp, gx = jax.grad(f, argnums=(0, 1))(v["params"], x)
+    ref = Unit3D(out_channels=64, kernel=(7, 7, 7), stride=(2, 2, 2),
+                 s2d_stem=True, pallas_stem=False)
+
+    def fr(params, xx):
+        return ref.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, xx,
+                         train=False).sum()
+
+    gp_r, gx_r = jax.grad(fr, argnums=(0, 1))(v["params"], x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gp_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

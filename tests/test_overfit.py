@@ -23,6 +23,48 @@ from multimodal_gar_tpu.train.train_state import (create_train_state,
 from tests.util import synthetic_batch, tiny_config
 
 
+def _learnable_batch(cfg):
+    """Fixed 2-clip set whose labels are CONSISTENT with the inputs.
+
+    synthetic_batch's labels are random (groups uncorrelated with geometry,
+    multi-hot actions with conflicting partition targets), which puts an
+    irreducible floor under several loss terms. Overfitting tests gradient
+    FLOW, so the fixture must be fittable: two spatially-separated groups
+    (2D boxes overlap within a group, never across; 3D centers clustered),
+    and one action class per actor so every partition target is exact.
+    """
+    import jax.numpy as jnp
+
+    base = synthetic_batch(cfg, batch_size=2)
+    valid = np.asarray(base.person_valid)
+    b, n = valid.shape
+    h, w = cfg.data.image_size
+    rng = np.random.default_rng(42)
+
+    sgid = np.full((b, n), -1, np.int32)
+    boxes2d = np.zeros((b, n, 4), np.float32)
+    boxes3d = np.asarray(base.boxes3d).copy()
+    actions = np.zeros((b, n, 27), np.float32)
+    centers2d = [(w * 0.2, h * 0.5), (w * 0.8, h * 0.5)]
+    centers3d = [(-4.0, -4.0), (4.0, 4.0)]
+    for bi in range(b):
+        for i in np.flatnonzero(valid[bi]):
+            g = int(i % 2)
+            cx, cy = centers2d[g]
+            jx, jy = rng.uniform(-3, 3, 2)
+            boxes2d[bi, i] = [cx + jx - 8, cy + jy - 12,
+                              cx + jx + 8, cy + jy + 12]
+            boxes3d[bi, i, 0:2] = np.asarray(centers3d[g]) \
+                + rng.uniform(-0.4, 0.4, 2)
+            boxes3d[bi, i, 2] = 0.0
+            sgid[bi, i] = g
+            actions[bi, i, int(i % 3)] = 1.0      # one pose-1 class each
+    return base.replace(
+        boxes2d=jnp.asarray(boxes2d), boxes3d=jnp.asarray(boxes3d),
+        social_group_id=jnp.asarray(sgid), actions=jnp.asarray(actions),
+        social_group_activity=jnp.asarray(actions))
+
+
 @pytest.mark.slow
 def test_overfit_fixed_set_group_ap_and_loss():
     cfg = tiny_config()
@@ -31,27 +73,35 @@ def test_overfit_fixed_set_group_ap_and_loss():
         cfg.train, grad_accum_steps=1, lr_decay_gamma=1.0))
     stage = dataclasses.replace(cfg.train.stages[0], learning_rate=2e-3)
 
-    batch = synthetic_batch(cfg, batch_size=2)      # THE fixed train set
+    batch = _learnable_batch(cfg)                   # THE fixed train set
     model = MGAR(cfg)
     state, tx = create_train_state(cfg, model, batch, jax.random.PRNGKey(0),
                                    stage, steps_per_epoch=1000)
     step = jax.jit(make_train_step(model, tx, "L_total"))
     eval_step = jax.jit(make_eval_step(model))
 
-    rng = jax.random.PRNGKey(1)
-    loss0 = None
-    loss = None
-    for i in range(400):
-        state, metrics = step(state, batch, rng)
-        loss = float(metrics["loss"])
-        assert np.isfinite(loss), f"non-finite loss at step {i}"
-        if loss0 is None:
-            loss0 = loss
-        if loss <= loss0 / 10 and i >= 50:
-            break
+    from multimodal_gar_tpu.train.losses import compute_losses, total_loss
 
-    assert loss is not None and loss <= loss0 / 10, (
-        f"loss only {loss0:.4f} -> {loss:.4f} after overfitting; "
+    @jax.jit
+    def eval_loss(state, batch):
+        # deterministic loss: train-mode loss carries a Dropout(0.2) noise
+        # floor, so the 10x criterion is judged on the eval-mode forward
+        out = eval_step(state, batch)
+        return total_loss(compute_losses(out, batch), "L_total")
+
+    rng = jax.random.PRNGKey(1)
+    loss0 = float(eval_loss(state, batch))
+    loss = loss0
+    for i in range(800):
+        state, metrics = step(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"])), f"non-finite at {i}"
+        if i % 50 == 49:
+            loss = float(eval_loss(state, batch))
+            if loss <= loss0 / 10 and i >= 100:
+                break
+
+    assert loss <= loss0 / 10, (
+        f"eval loss only {loss0:.4f} -> {loss:.4f} after overfitting; "
         "a gradient path is broken or a loss term is saturated")
 
     # grouping AP on the train set must be perfect
