@@ -13,7 +13,8 @@ import numpy as np
 
 def write_synthetic_jrdb(root: str, num_seqs: int = 2, frames_per_seq: int = 4,
                          people_per_frame: int = 5, image_hw=(120, 200),
-                         seed: int = 0) -> None:
+                         seed: int = 0, points_per_scan: int = 300,
+                         point_range: float = 5.0) -> None:
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "train_dataset_with_activity")
     img_root = os.path.join(base, "images", "image_stitched")
@@ -38,8 +39,9 @@ def write_synthetic_jrdb(root: str, num_seqs: int = 2, frames_per_seq: int = 4,
             Image.fromarray(img).save(
                 os.path.join(img_root, seq, f"{f:06d}.jpg"))
             for pc_dir in (pc_lower, pc_upper):
-                pts = rng.uniform([-5, -5, -1, 0], [5, 5, 2, 1],
-                                  (300, 4)).astype(np.float32)
+                r = point_range
+                pts = rng.uniform([-r, -r, -1, 0], [r, r, 2, 1],
+                                  (points_per_scan, 4)).astype(np.float32)
                 _write_pcd(os.path.join(pc_dir, seq, f"{f:06d}.pcd"), pts)
 
             npers = people_per_frame

@@ -203,6 +203,11 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                 pltpu.VMEM((k_dim, n_chunk), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            # scratch + double-buffered blocks total ~24 MB; the default
+            # scoped-vmem budget (16 MB on this toolchain) rejects it, so
+            # raise the per-kernel limit (v5e VMEM is 128 MB).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(x_hi, x_lo, a_hi, a_lo, sc2, bi2)
         chunks.append(out)
