@@ -66,13 +66,15 @@ def _serialize(b, s):
 
 
 def build_eval(batch_size: int = 1, dtype: str = "float32",
-               chunk: int | None = None):
+               chunk: int | None = None, cfg_patch=None):
     import jax
 
     from multimodal_gar_tpu.models import MGAR
     from multimodal_gar_tpu.utils.testing import flagship_config, synthetic_batch
 
     cfg = flagship_config(dtype=dtype)
+    if cfg_patch is not None:
+        cfg = cfg_patch(cfg)
     batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
     model = MGAR(cfg)
     init_b = batch if chunk is None else jax.tree_util.tree_map(
@@ -128,9 +130,11 @@ def _timed(chained, args, k: int, iters: int = 3) -> float:
 
 
 def eval_throughput(batch_size: int, dtype: str = "float32",
-                    k: int | None = None, chunk: int | None = None) -> float:
+                    k: int | None = None, chunk: int | None = None,
+                    cfg_patch=None) -> float:
     """clips/sec at the flagship config; raises on OOM."""
-    fn, variables, batch = build_eval(batch_size, dtype, chunk=chunk)
+    fn, variables, batch = build_eval(batch_size, dtype, chunk=chunk,
+                                      cfg_patch=cfg_patch)
     chained = _chain_eval(fn)
     if k is None:
         k = max(8, 40 // batch_size)

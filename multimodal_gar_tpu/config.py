@@ -92,6 +92,9 @@ class RGBBackboneConfig:
     # jax.checkpoint the I3D Inception modules in the backward pass
     # (activation-HBM for recompute-FLOPs; enables larger train batches).
     i3d_remat: bool = False
+    # eval-path (3,3,3) convs as 3 temporally-shifted native 2D convs
+    # (models/i3d.py:_conv3d_t2d). Perf experiment; exact same sums.
+    i3d_t2d: bool = False
 
 
 @dataclass
@@ -140,6 +143,11 @@ class LiDARBackboneConfig:
     # (v5e, K=256). 0 disables the cull (dense (R, M) relation + row
     # gathers).
     pool_cull_k: int = 256
+    # x-window sparse-conv gathers (sparse_backbone.window_gather): 9 wide
+    # window gathers per query instead of 27 row gathers, using the packed
+    # maps the host rulebook emits (data/rulebook.py). Requires the host
+    # rulebook; falls back to the nbr/down maps when they are absent.
+    x_window: bool = True
 
 
 @dataclass

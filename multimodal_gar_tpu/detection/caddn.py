@@ -13,10 +13,11 @@ foreground/background balancer (ddn_loss/{ddn_loss,balancer}.py).
 TPU-native design: the frustum->voxel resample is one vmapped trilinear
 gather over (u, v, depth-bin) computed from the calibration matrices
 (frustum_grid_generator.py:79-145 without kornia); out-of-frustum voxels
-zero out via the gather mask. The reference's DeepLabV3/ResNet101 DDN is
-replaced by a compact conv encoder (the DDN template's contract: stride-S
-features + D+1 depth logits) — checkpoint-compatible swaps can plug in any
-image backbone here.
+zero out via the gather mask. The DDN defaults to the reference's
+DeepLabV3 + ResNet101 (ddn_deeplab.py, layer1 feature tap + ASPP
+classifier); ``ddn_arch="compact"`` selects a small conv encoder with the
+same contract (stride-S features + D+1 depth logits) for tests and fast
+iteration.
 """
 from __future__ import annotations
 
@@ -39,6 +40,10 @@ from .post import post_processing
 
 @dataclasses.dataclass(frozen=True)
 class CaDDNConfig:
+    # "deeplabv3_r101" / "deeplabv3_r50": the reference's DDNDeepLabV3
+    # (ddn_deeplab.py); "compact": a small conv encoder with the same
+    # contract, for tests and fast iteration.
+    ddn_arch: str = "deeplabv3_r101"
     num_depth_bins: int = 80
     depth_min: float = 2.0
     depth_max: float = 46.8
@@ -176,7 +181,18 @@ class CaDDNDetector(nn.Module):
                  ) -> Dict[str, jnp.ndarray]:
         c, cd = self.cfg, self.cd_cfg
         assert batch.images is not None and batch.lidar_to_cam is not None
-        feats, depth_logits = DDN(cd, name="ffn")(batch.images, train)
+        if cd.ddn_arch.startswith("deeplabv3"):
+            from .ddn_deeplab import DeepLabV3DDN
+            backbone = "ResNet50" if cd.ddn_arch.endswith("r50") \
+                else "ResNet101"
+            raw_feats, depth_logits = DeepLabV3DDN(
+                cd.num_depth_bins + 1, backbone_name=backbone,
+                name="ffn")(batch.images, train)
+            # DepthFFN's CHANNEL_REDUCE conv (depth_ffn.py): 256 -> C
+            feats = nn.Conv(cd.channel_reduce, (1, 1),
+                            name="channel_reduce")(raw_feats)
+        else:
+            feats, depth_logits = DDN(cd, name="ffn")(batch.images, train)
         # frustum features: outer product of depth distribution x features
         # (ddn_template: frustum_features = depth_probs * image_features)
         probs = jax.nn.softmax(depth_logits, -1)[..., :cd.num_depth_bins]

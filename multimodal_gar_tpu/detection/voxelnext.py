@@ -11,9 +11,10 @@ top-K decode).
 TPU-native design: the cross-scale concat is a fixed-width concatenation of
 padded sets; the BEV collapse is a fixed-capacity sorted-unique + segment
 sum; the "2D sparse convs" run as 3D submanifold convs on a z=1 plane.
-The reference's stride-1 SparseConv2d conv_out (which slightly dilates the
-active set) is approximated by a submanifold conv — the head only reads
-active sites, so this changes no scored location.
+The reference's stride-1 SparseConv2d conv_out dilates the active set by
+one BEV cell; conv_out here is a true stride-1 sparse conv (kernel
+(1, 3, 3)) whose output active set is the dilated one, so the head scores
+exactly the sites the reference scores.
 """
 from __future__ import annotations
 
@@ -113,8 +114,12 @@ class VoxelNeXtBackbone(nn.Module):
                                                  all_feats)
         bev = SparseTensor(features=bev_f, coords=bev_c, valid=bev_v,
                            spatial_shape=(1, h, w))
-        bev = SparseConvBlock(self.cfg.out_channel, "subm", dtype=self.dtype,
-                              name="conv_out")(bev, train)
+        # stride-1 sparse conv: output active set = input set dilated by one
+        # BEV cell (reference voxelnext.py conv_out, SparseConv2d k3/s1/p1)
+        bev = SparseConvBlock(self.cfg.out_channel, "spconv",
+                              kernel_size=(1, 3, 3), stride=1,
+                              padding=(0, 1, 1), max_out_voxels=2 * mb,
+                              dtype=self.dtype, name="conv_out")(bev, train)
         bev = SparseConvBlock(self.cfg.out_channel, "subm", dtype=self.dtype,
                               name="shared_conv")(bev, train)
         return bev

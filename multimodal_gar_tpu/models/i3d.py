@@ -164,6 +164,25 @@ def _pallas_stem_mode() -> Tuple[bool, bool]:
     return False, False
 
 
+def _conv3d_t2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, 3)/stride-1 SAME conv as 3 temporally-shifted 2D convs.
+
+    out[:, t] = sum_dt conv2d(x[:, t + dt - 1], kernel[dt]) with zero pads
+    at the T edges — identical sums to the 3D conv, but each term runs on
+    the TPU's native 2D convolution path with T folded into the batch dim.
+    """
+    b, t, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dt in range(3):
+        xs = jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1)
+        y = jax.lax.conv_general_dilated(
+            xs.reshape(b * t, h, w, c), kernel[dt], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y if out is None else out + y
+    return out.reshape(b, t, h, w, -1)
+
+
 class Unit3D(nn.Module):
     """Conv3D (SAME pad, no bias) + BatchNorm(eps=1e-3, momentum=0.01) + ReLU.
 
@@ -181,6 +200,11 @@ class Unit3D(nn.Module):
     activation: bool = True
     s2d_stem: bool = False
     pallas_stem: bool = True
+    # eval-path (3,3,3)/stride-1 convs as 3 temporally-shifted NATIVE 2D
+    # convs summed (T folded into batch): exact same sums, but each conv
+    # maps onto the TPU's native 2D convolution path instead of XLA's 3D
+    # lowering. Perf experiment for the post-stem I3D cost.
+    t2d: bool = False
     # eval-mode BN fold: conv+BN+ReLU becomes conv(W*s)+b+ReLU, removing the
     # per-activation normalize pass across the ~60 frozen convs (VERDICT r2
     # weak #8). Variable tree is unchanged (bn stats still live at bn/*).
@@ -232,10 +256,15 @@ class Unit3D(nn.Module):
             kernel = _StemKernel(
                 self.kernel + (x.shape[-1], self.out_channels),
                 name="conv3d")()
-            x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), (kernel * s).astype(self.dtype),
-                window_strides=self.stride, padding="SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            kf = (kernel * s).astype(self.dtype)
+            if (self.t2d and self.kernel == (3, 3, 3)
+                    and self.stride == (1, 1, 1)):
+                x = _conv3d_t2d(x.astype(self.dtype), kf)
+            else:
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kf,
+                    window_strides=self.stride, padding="SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         else:
             x = nn.Conv(self.out_channels, self.kernel, strides=self.stride,
                         padding="SAME", use_bias=self.use_bias,
@@ -277,6 +306,7 @@ def max_pool_same(x: jnp.ndarray, window: Tuple[int, int, int],
 class InceptionModule(nn.Module):
     """Four-branch inception block (reference backbone.py:210-235)."""
     out_channels: Sequence[int]    # [b0, b1a, b1b, b2a, b2b, b3b]
+    t2d: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -284,9 +314,11 @@ class InceptionModule(nn.Module):
         oc = self.out_channels
         b0 = Unit3D(oc[0], (1, 1, 1), dtype=self.dtype, name="b0")(x, train)
         b1 = Unit3D(oc[1], (1, 1, 1), dtype=self.dtype, name="b1a")(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), dtype=self.dtype, name="b1b")(b1, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), t2d=self.t2d, dtype=self.dtype,
+                    name="b1b")(b1, train)
         b2 = Unit3D(oc[3], (1, 1, 1), dtype=self.dtype, name="b2a")(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), dtype=self.dtype, name="b2b")(b2, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), t2d=self.t2d, dtype=self.dtype,
+                    name="b2b")(b2, train)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
         b3 = Unit3D(oc[5], (1, 1, 1), dtype=self.dtype, name="b3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
@@ -320,6 +352,8 @@ class InceptionI3d(nn.Module):
     # (jax.checkpoint): trades recompute FLOPs for activation HBM, enabling
     # larger per-chip train batches (VERDICT r2 weak #2).
     remat: bool = False
+    # eval-path (3,3,3) convs as 3 shifted native 2D convs (Unit3D.t2d)
+    t2d: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -339,7 +373,8 @@ class InceptionI3d(nn.Module):
             elif ep == "Conv3d_2b_1x1":
                 x = Unit3D(64, (1, 1, 1), dtype=d, name=ep)(x, train)
             elif ep == "Conv3d_2c_3x3":
-                x = Unit3D(192, (3, 3, 3), dtype=d, name=ep)(x, train)
+                x = Unit3D(192, (3, 3, 3), t2d=self.t2d, dtype=d,
+                           name=ep)(x, train)
             elif ep == "MaxPool3d_3a_3x3":
                 x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
             elif ep == "MaxPool3d_4a_3x3":
@@ -347,7 +382,8 @@ class InceptionI3d(nn.Module):
             elif ep == "MaxPool3d_5a_2x2":
                 x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
             else:
-                x = mixed_cls(_INCEPTION_CFG[ep], dtype=d, name=ep)(x, train)
+                x = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d, dtype=d,
+                              name=ep)(x, train)
             if ep == self.final_endpoint:
                 return x
         raise ValueError(f"unknown endpoint {self.final_endpoint}")

@@ -65,7 +65,9 @@ class LiDARBackbone(nn.Module):
 
         ms = VoxelBackbone8x(
             max_voxels_per_stage=self.cfg.max_voxels_per_stage,
-            dtype=self.dtype, name="backbone3d")(st, train, rulebook)
+            dtype=self.dtype,
+            x_window=getattr(self.cfg, "x_window", False),
+            name="backbone3d")(st, train, rulebook)
 
         # shared FC is only consumed when the self-attention head is off
         # (reference computes-but-discards it under SELF_ATT1; we skip the

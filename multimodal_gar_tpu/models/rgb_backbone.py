@@ -52,6 +52,7 @@ class RGBBackbone(nn.Module):
         feats = InceptionI3d(final_endpoint=self.cfg.i3d_endpoint,
                              pallas_stem=self.cfg.pallas_stem,
                              remat=self.cfg.i3d_remat,
+                             t2d=getattr(self.cfg, "i3d_t2d", False),
                              dtype=self.dtype, name="i3d")(
             images, train=train and not self.cfg.i3d_freeze)
         if self.cfg.i3d_freeze:

@@ -41,6 +41,46 @@ class SparseTensor:
     spatial_shape: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
 
 
+WINDOW_POS_MASK = (1 << 20) - 1
+
+
+def window_gather(features: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Gather all 27 tap features from a key-sorted stage via x-window maps.
+
+    XLA's TPU row gather costs ~5-6 cycles per row regardless of row width
+    (measured: a (221k, 32)-row gather runs at 37x its HBM-bandwidth bound),
+    so this gathers 9 rows per query from a 3C-wide shifted table — rows
+    [j-1, j, j+1] of the sorted feature array hold every possible dx in
+    {-1, 0, +1} neighbor (consecutive linear keys are adjacent rows) — and
+    resolves which window slot holds which dx tap from the host-packed
+    selectors (data/rulebook.py: j | slots << 20). 3x fewer gather rows for
+    ~1.07x the bytes.
+
+    Args:
+      features: (M, C), rows in linear-key order (padded rows last).
+      win: (R, 9) packed int32 window map for this layer.
+    Returns:
+      (R, 27, C) tap features in (dz, dy, dx) scan order, zeros where the
+      neighbor is absent/out of range.
+    """
+    m, c = features.shape
+    r = win.shape[0]
+    zero = jnp.zeros((1, c), features.dtype)
+    wt = jnp.concatenate([
+        jnp.concatenate([zero, features[:-1]], 0),       # row j-1
+        features,                                        # row j
+        jnp.concatenate([features[1:], zero], 0)], -1)   # row j+1 -> (M, 3C)
+    pos = win & WINDOW_POS_MASK
+    sel = win >> WINDOW_POS_MASK.bit_length()      # packed values < 2^26 > 0
+    g = wt[pos].reshape(r, 9, 3, c)                      # the 9R-row gather
+    dx_shift = 2 * jnp.arange(3, dtype=win.dtype)
+    slots = (sel[..., None] >> dx_shift) & 3             # (R, 9, 3dx)
+    onehot = (slots[..., None]
+              == jnp.arange(3, dtype=win.dtype)).astype(features.dtype)
+    taps = jnp.einsum("rpdw,rpwc->rpdc", onehot, g)      # slot -> dx select
+    return taps.reshape(r, 27, c)
+
+
 def _neighbor_idx_subm(coords, valid, spatial_shape, kernel_size):
     """(B, M, K^3) row indices of each voxel's neighbors (-1 if absent)."""
     offs = vox.kernel_offsets(kernel_size)                       # (K3, 3)
@@ -67,19 +107,24 @@ class SubMConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor,
-                 neighbor_idx: jnp.ndarray | None = None) -> SparseTensor:
+                 neighbor_idx: jnp.ndarray | None = None,
+                 window: jnp.ndarray | None = None) -> SparseTensor:
         k3 = self.kernel_size ** 3
         cin = st.features.shape[-1]
         w = self.param("kernel", nn.initializers.kaiming_normal(),
                        (k3, cin, self.out_channels))
-        if neighbor_idx is None:
-            neighbor_idx = _neighbor_idx_subm(
-                st.coords, st.valid, st.spatial_shape, self.kernel_size)
+        if window is not None:
+            assert self.kernel_size == 3
+            gathered = jax.vmap(window_gather)(st.features, window)
+        else:
+            if neighbor_idx is None:
+                neighbor_idx = _neighbor_idx_subm(
+                    st.coords, st.valid, st.spatial_shape, self.kernel_size)
 
-        idx = jnp.clip(neighbor_idx, 0)                          # (B, M, K3)
-        hit = (neighbor_idx >= 0)[..., None].astype(st.features.dtype)
-        gathered = jax.vmap(lambda f, i: f[i])(st.features, idx)  # (B, M, K3, Cin)
-        gathered = gathered * hit
+            idx = jnp.clip(neighbor_idx, 0)                      # (B, M, K3)
+            hit = (neighbor_idx >= 0)[..., None].astype(st.features.dtype)
+            gathered = jax.vmap(lambda f, i: f[i])(st.features, idx)
+            gathered = gathered * hit                            # (B,M,K3,Cin)
         out = jnp.einsum("bmkc,kcd->bmd", gathered.astype(self.dtype),
                          w.astype(self.dtype))
         if self.use_bias:
@@ -155,7 +200,8 @@ class SparseConv3dDown(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor,
-                 precomputed: tuple | None = None) -> SparseTensor:
+                 precomputed: tuple | None = None,
+                 window_pre: tuple | None = None) -> SparseTensor:
         kz, ky, kx = _tup3(self.kernel_size)
         k3 = kz * ky * kx
         cin = st.features.shape[-1]
@@ -163,7 +209,11 @@ class SparseConv3dDown(nn.Module):
                        (k3, cin, self.out_channels))
         out_shape = _downsample_shape(st.spatial_shape, self.kernel_size,
                                       self.stride, self.padding)
-        if precomputed is not None:
+        if window_pre is not None:
+            assert (kz, ky, kx) == (3, 3, 3)
+            out_coords, out_valid, dwin = window_pre     # (B,Mo,3)(B,Mo)(B,Mo,9)
+            gathered = jax.vmap(window_gather)(st.features, dwin)
+        elif precomputed is not None:
             out_coords, out_valid, down_idx = precomputed      # (B,Mo,3)(B,Mo)(B,Mo,K3)
             hit = (down_idx >= 0)[..., None].astype(st.features.dtype)
             safe = jnp.clip(down_idx, 0)
@@ -212,17 +262,20 @@ class SparseConvBlock(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False,
                  neighbor_idx: jnp.ndarray | None = None,
-                 precomputed: tuple | None = None) -> SparseTensor:
+                 precomputed: tuple | None = None,
+                 window: jnp.ndarray | None = None,
+                 window_pre: tuple | None = None) -> SparseTensor:
         if self.conv_type == "subm":
             st = SubMConv3d(self.out_channels, dtype=self.dtype,
-                            name="conv")(st, neighbor_idx)
+                            name="conv")(st, neighbor_idx, window)
         elif self.conv_type == "spconv":
             st = SparseConv3dDown(self.out_channels,
                                   kernel_size=self.kernel_size,
                                   stride=self.stride,
                                   padding=self.padding,
                                   max_out_voxels=self.max_out_voxels,
-                                  dtype=self.dtype, name="conv")(st, precomputed)
+                                  dtype=self.dtype, name="conv")(st, precomputed,
+                                                                 window_pre)
         else:
             raise ValueError(self.conv_type)
         f = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
@@ -245,6 +298,7 @@ class VoxelBackbone8x(nn.Module):
     """
     max_voxels_per_stage: Tuple[int, int, int, int] = (16000, 16000, 8000, 4000)
     dtype: Any = jnp.float32
+    x_window: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False,
@@ -252,60 +306,75 @@ class VoxelBackbone8x(nn.Module):
                  ) -> Dict[str, SparseTensor]:
         caps = self.max_voxels_per_stage
         rb = rulebook
+        xw = self.x_window and rb is not None and "win_0" in rb
+        if xw:
+            # x-window maps address key-sorted rows: reorder stage 0 once
+            order = rb["order_0"]                         # (B, M0)
+            st = st.replace(
+                features=jnp.take_along_axis(st.features, order[..., None], 1),
+                coords=jnp.take_along_axis(st.coords, order[..., None], 1),
+                valid=jnp.take_along_axis(st.valid, order, 1))
 
-        def stage_pre(k, prev_shape):
-            """(out_coords, out_valid, down_idx) for down-stage k from rulebook."""
-            if rb is None:
-                return None
+        def stage_out(k):
+            """(out_coords, out_valid) of down-stage k from the rulebook."""
             count = rb[f"count_{k}"]                      # (B,)
             mo = rb[f"coords_{k}"].shape[1]
             ov = jnp.arange(mo)[None, :] < count[:, None]
-            return rb[f"coords_{k}"], ov, rb[f"down_{k}"]
+            return rb[f"coords_{k}"], ov
 
-        def nbr(k, x):
+        def down_args(k):
+            """kwargs for down-stage k's SparseConvBlock."""
+            if rb is None:
+                return {}
+            oc, ov = stage_out(k)
+            if xw:
+                return {"window_pre": (oc, ov, rb[f"dwin_{k}"])}
+            return {"precomputed": (oc, ov, rb[f"down_{k}"])}
+
+        def subm_args(k, x):
+            if xw:
+                return {"window": rb[f"win_{k}"]}
             if rb is not None:
-                return rb[f"nbr_{k}"]
-            return _neighbor_idx_subm(x.coords, x.valid, x.spatial_shape, 3)
+                return {"neighbor_idx": rb[f"nbr_{k}"]}
+            return {"neighbor_idx": _neighbor_idx_subm(
+                x.coords, x.valid, x.spatial_shape, 3)}
 
         # stage 1: conv_input + conv1 (subm, shared indice_key 'subm1')
-        nbr1 = nbr(0, st)
+        sub1 = subm_args(0, st)
         x = SparseConvBlock(16, "subm", dtype=self.dtype,
-                            name="conv_input")(st, train, nbr1)
+                            name="conv_input")(st, train, **sub1)
         x1 = SparseConvBlock(16, "subm", dtype=self.dtype,
-                             name="conv1_0")(x, train, nbr1)
+                             name="conv1_0")(x, train, **sub1)
 
         # stage 2: strided down + 2 subm ('subm2')
         x = SparseConvBlock(32, "spconv", stride=2, padding=1,
                             max_out_voxels=caps[1], dtype=self.dtype,
-                            name="conv2_down")(x1, train,
-                                               precomputed=stage_pre(1, None))
-        nbr2 = nbr(1, x)
+                            name="conv2_down")(x1, train, **down_args(1))
+        sub2 = subm_args(1, x)
         x = SparseConvBlock(32, "subm", dtype=self.dtype,
-                            name="conv2_1")(x, train, nbr2)
+                            name="conv2_1")(x, train, **sub2)
         x2 = SparseConvBlock(32, "subm", dtype=self.dtype,
-                             name="conv2_2")(x, train, nbr2)
+                             name="conv2_2")(x, train, **sub2)
 
         # stage 3
         x = SparseConvBlock(64, "spconv", stride=2, padding=1,
                             max_out_voxels=caps[2], dtype=self.dtype,
-                            name="conv3_down")(x2, train,
-                                               precomputed=stage_pre(2, None))
-        nbr3 = nbr(2, x)
+                            name="conv3_down")(x2, train, **down_args(2))
+        sub3 = subm_args(2, x)
         x = SparseConvBlock(64, "subm", dtype=self.dtype,
-                            name="conv3_1")(x, train, nbr3)
+                            name="conv3_1")(x, train, **sub3)
         x3 = SparseConvBlock(64, "subm", dtype=self.dtype,
-                             name="conv3_2")(x, train, nbr3)
+                             name="conv3_2")(x, train, **sub3)
 
         # stage 4: z-padding 0 (reference spconv_backbone.py:104)
         x = SparseConvBlock(64, "spconv", stride=2, padding=(0, 1, 1),
                             max_out_voxels=caps[3], dtype=self.dtype,
-                            name="conv4_down")(x3, train,
-                                               precomputed=stage_pre(3, None))
-        nbr4 = nbr(3, x)
+                            name="conv4_down")(x3, train, **down_args(3))
+        sub4 = subm_args(3, x)
         x = SparseConvBlock(64, "subm", dtype=self.dtype,
-                            name="conv4_1")(x, train, nbr4)
+                            name="conv4_1")(x, train, **sub4)
         x4 = SparseConvBlock(64, "subm", dtype=self.dtype,
-                             name="conv4_2")(x, train, nbr4)
+                             name="conv4_2")(x, train, **sub4)
 
         return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4}
 

@@ -68,8 +68,8 @@ def test_caddn_train_and_predict():
         bev_layer_nums=(1, 1), bev_layer_strides=(2, 2),
         bev_num_filters=(16, 32), bev_upsample_strides=(1, 2),
         bev_num_upsample_filters=(16, 16))
-    cd = CaDDNConfig(num_depth_bins=8, depth_min=1.0, depth_max=17.0,
-                     ddn_channels=(8, 16), channel_reduce=8,
+    cd = CaDDNConfig(ddn_arch="compact", num_depth_bins=8, depth_min=1.0,
+                     depth_max=17.0, ddn_channels=(8, 16), channel_reduce=8,
                      bev_collapse_channels=16, downsample_factor=4)
     model = CaDDNDetector(cfg, cd)
     batch = det_batch(cfg, m=16)
@@ -102,3 +102,33 @@ def test_caddn_train_and_predict():
         variables, batch)
     out = jax.jit(model.predict)(eval_preds)
     assert out["boxes"].shape[-1] == 7
+
+
+def test_deeplabv3_ddn_contract():
+    """DeepLabV3 DDN (ddn_deeplab.py): layer1-resolution features (256 ch,
+    stride 4) + upsampled depth logits, torchvision trunk structure."""
+    from multimodal_gar_tpu.detection.ddn_deeplab import DeepLabV3DDN
+
+    model = DeepLabV3DDN(num_classes=9, backbone_name="ResNet50")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 32, 64, 3)),
+                    jnp.float32)
+
+    @jax.jit
+    def run(x):
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        return variables, model.apply(variables, x, train=False)
+
+    variables, (feats, logits) = run(x)
+    assert feats.shape == (1, 8, 16, 256)          # stride 4, layer1 width
+    assert logits.shape == (1, 8, 16, 9)           # resized to feat shape
+    assert bool(jnp.isfinite(feats).all()) and bool(
+        jnp.isfinite(logits).all())
+
+    params = variables["params"]["backbone"]
+    # torchvision resnet50 stage depths [3, 4, 6, 3]
+    for li, n in zip(range(1, 5), (3, 4, 6, 3)):
+        rows = [k for k in params if k.startswith(f"layer{li}_")]
+        assert len(rows) == n, (li, rows)
+    # output stride 8: layer3/4 first blocks keep stride 1 (dilated)
+    aspp = variables["params"]["aspp"]
+    assert aspp["b1_conv"]["kernel"].shape == (3, 3, 2048, 256)

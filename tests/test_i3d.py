@@ -312,3 +312,21 @@ def test_unit3d_pallas_stem_differentiable(monkeypatch):
                     jax.tree_util.tree_leaves(gp_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_unit3d_t2d_matches_3d_conv():
+    """t2d (3 shifted 2D convs) == the 3D conv on the folded eval path."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)), jnp.float32)
+    ref = Unit3D(8, (3, 3, 3), t2d=False)
+    alt = Unit3D(8, (3, 3, 3), t2d=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial BN stats so the fold actually scales
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.01 * jnp.arange(v.size).reshape(v.shape), variables)
+    a = ref.apply(variables, x, train=False)
+    b = alt.apply(variables, x, train=False)
+    # same sums in a different association order (3 dt groups vs one K=81
+    # contraction): bitwise equality is not expected
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)

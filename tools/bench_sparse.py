@@ -60,8 +60,11 @@ def main():
                        valid=batch.voxel_valid, spatial_shape=(nz, ny, nx))
 
     results = {}
-    for dtype_name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
-        bb = VoxelBackbone8x(max_voxels_per_stage=caps, dtype=dt)
+    for name, dt, xw in [("f32", jnp.float32, False),
+                         ("bf16", jnp.bfloat16, False),
+                         ("xwin_f32", jnp.float32, True),
+                         ("xwin_bf16", jnp.bfloat16, True)]:
+        bb = VoxelBackbone8x(max_voxels_per_stage=caps, dtype=dt, x_window=xw)
         variables = jax.jit(partial(bb.init, train=False))(
             jax.random.PRNGKey(0), st0, rulebook=batch.rulebook)
 
@@ -77,8 +80,8 @@ def main():
                 st.features.dtype)), rb)
 
         t = timed_chain(fn, perturb, (st0, batch.rulebook))
-        results[f"backbone_{dtype_name}"] = t
-        print(f"backbone full ({dtype_name}): {t * 1e3:.2f} ms", flush=True)
+        results[f"backbone_{name}"] = t
+        print(f"backbone full ({name}): {t * 1e3:.2f} ms", flush=True)
 
     # gather-only: every layer's neighbor gather at its true (M, C) shape,
     # reduced by sum — no GEMMs
