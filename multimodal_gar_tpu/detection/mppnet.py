@@ -1,22 +1,41 @@
 """MPPNet: multi-frame proposal trajectory refinement (+ E2E memory bank).
 
 Capability parity with pcdet/models/detectors/mppnet.py,
-roi_heads/mppnet_head.py:298-992 and mppnet_memory_bank_e2e.py: given
-per-frame proposals from a base detector (the reference consumes a frozen
-CenterPoint's 'proposals_list'), proposals are linked into trajectories,
-per-frame points are cropped inside the (enlarged) trajectory boxes,
-embedded with proposal-aware geometry features (offsets to the 8 box corners
-+ center, spherical encoding, mppnet_head.py:551-575 / 454-468) and motion
-features (offset to the current-frame box + per-frame time embedding,
-:577-606), summarized per frame, fused by a transformer over the frame axis
-with a learnable global token, and decoded into a confidence + box residual
-against the current-frame RoI.
+roi_heads/mppnet_head.py:298-992, model_utils/mppnet_utils.py and
+mppnet_memory_bank_e2e.py: given per-frame proposals from a base detector
+(the reference consumes a frozen CenterPoint's 'proposals_list'):
+
+  1. proposals are linked into trajectories by velocity propagation +
+     IoU >= 0.5 matching with a per-frame valid_length mask
+     (generate_trajectory, mppnet_head.py:635-659);
+  2. per-frame points are cropped inside the (enlarged) trajectory boxes
+     and stamped with a time channel (crop_*_frame_points:470-549);
+  3. raw points get proposal-aware GEOMETRY features — spherical offsets to
+     the frame box's 8 corners + center (29-d) through up_dimension_geometry
+     (:551-575) — then are pooled onto a 4^3 PROXY-POINT grid per
+     (frame, box) by a multi-radius StackSAModuleMSG (roi_grid_pool:403-442);
+  4. proxy points get MOTION features — spherical offsets to the
+     CURRENT-frame box + per-frame time embedding (30-d) through
+     up_dimension_motion (:577-606) — summed with the geometry stream;
+  5. a grouped transformer (mppnet_utils.Transformer:155-262) runs
+     num_groups streams of [learnable token | proxy tokens]: each encoder
+     layer applies a per-axis MLP-mixer over the proxy grid
+     (SpatialMixerBlock:109-154), a token<-points attention summary, and —
+     on all but the last layer — inter-group cross-attention against a
+     4-group fusion MLP (TransformerEncoderLayer:302-345);
+  6. a PointNet auxiliary branch embeds the canonicalized box sequence
+     (trajectories_auxiliary_branch:608-633) into box_reg + box_feat;
+  7. heads: per-layer class logits from the group-0 token, per-layer
+     per-group box residuals (bbox_embed), and the final joint regression
+     from [all group tokens | box_feat] (jointembed, forward:774-788).
 
 TPU-native design: everything is fixed-shape — K cropped points per
 (frame, RoI) via ops/boxes3d.roipoint_pool3d under a (batch x frame) vmap,
-T frame tokens per RoI, one dense transformer. The E2E variant threads the
-per-frame token memory as explicit functional state instead of an in-module
-python list (mppnet_memory_bank_e2e.py's rolling bank).
+G x (1 + P) tokens per RoI stacked on a leading group axis, one dense
+grouped transformer. Frame->group assignment is the reference's
+sequence-stride interleave (group i takes frames i, i+G, ...). The E2E
+variant threads the per-frame summary memory as explicit functional state
+instead of an in-module python list (mppnet_memory_bank_e2e.py).
 """
 from __future__ import annotations
 
@@ -28,7 +47,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import boxes3d
-from ..ops.geometry import safe_sqrt
+from ..ops.geometry import rotate_points_along_z, safe_sqrt
+from ..ops.neighbor import ball_query, grouping_operation
 from .box_coders import ResidualCoder
 from .detectors import DetectorConfig, register_detector
 from .post import post_processing
@@ -39,13 +59,20 @@ from .roi_heads import canonical_gt_transform, decode_roi_boxes, roi_box_loss, \
 @dataclasses.dataclass(frozen=True)
 class MPPNetConfig:
     num_frames: int = 4
-    points_per_roi: int = 128
+    num_groups: int = 4                  # G | num_frames; groups interleave
+    points_per_roi: int = 128            # cropped points per (frame, RoI)
+    proxy_grid: int = 4                  # 4^3 = 64 proxy points per frame
     hidden: int = 64
     num_heads: int = 4
-    num_layers: int = 2
+    num_layers: int = 2                  # encoder layers
+    mixer_hidden: int = 16
+    pool_radii: Tuple[float, ...] = (0.8, 1.6)
+    pool_nsamples: Tuple[int, ...] = (16, 16)
     pool_extra_width: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     cls_fg_thresh: float = 0.75
     cls_bg_thresh: float = 0.25
+    aux_weight: float = 1.0              # per-layer point/box aux losses
+    traj_iou_thresh: float = 0.5         # generate_trajectory matching
 
 
 def corner_proxy_points(rois: jnp.ndarray) -> jnp.ndarray:
@@ -53,6 +80,18 @@ def corner_proxy_points(rois: jnp.ndarray) -> jnp.ndarray:
     (mppnet_head.get_corner_points_of_roi:367-401)."""
     corners = boxes3d.boxes_to_corners_3d(rois)              # (R, 8, 3)
     return jnp.concatenate([corners, rois[:, None, :3]], axis=1)
+
+
+def dense_proxy_points(rois: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """(R, 7) -> (R, grid^3, 3) global grid points
+    (get_proxy_points_of_roi:444-452 via get_dense_grid_points)."""
+    g = jnp.arange(grid, dtype=rois.dtype)
+    gx, gy, gz = jnp.meshgrid(g, g, g, indexing="ij")
+    idx = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)    # (G3, 3)
+    local = (idx[None] + 0.5) / grid * rois[:, None, 3:6] \
+        - rois[:, None, 3:6] / 2
+    local = rotate_points_along_z(local, rois[:, 6])
+    return local + rois[:, None, :3]
 
 
 def spherical_coordinate(offsets: jnp.ndarray,
@@ -67,25 +106,154 @@ def spherical_coordinate(offsets: jnp.ndarray,
                       jnp.sin(phi)], -1)
 
 
+def proposal_aware_feature(points_xyz: jnp.ndarray, rois: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Spherical offsets of each point to a box's 9 proxy points -> (..., 27).
+
+    points_xyz: (R, K, 3); rois: (R, 7).
+    """
+    proxies = corner_proxy_points(rois)                      # (R, 9, 3)
+    diag = jnp.linalg.norm(rois[:, 3:6], axis=-1)            # (R,)
+    off = points_xyz[:, :, None, :] - proxies[:, None, :, :]  # (R, K, 9, 3)
+    sph = spherical_coordinate(off, diag[:, None, None])
+    return sph.reshape(points_xyz.shape[0], points_xyz.shape[1], 27)
+
+
+class MLPStack(nn.Module):
+    """mppnet_utils.MLP: num_layers Dense with ReLU between."""
+    hidden: int
+    out: int
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, name=f"fc{i}")(x))
+        return nn.Dense(self.out, name=f"fc{self.num_layers - 1}")(x)
+
+
+class FFNBlock(nn.Module):
+    """mppnet_utils.FFN: residual add + LN + feedforward + LN."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, tgt: jnp.ndarray, tgt_input: jnp.ndarray) -> jnp.ndarray:
+        tgt = nn.LayerNorm(name="ln1")(tgt + tgt_input)
+        ff = nn.Dense(self.hidden * 2, name="ff1")(tgt)
+        ff = nn.Dense(tgt.shape[-1], name="ff2")(nn.relu(ff))
+        return nn.LayerNorm(name="ln2")(tgt + ff)
+
+
+class SpatialMixerBlock(nn.Module):
+    """Per-axis MLP mixer over the proxy grid (mppnet_utils:109-154)."""
+    grid: int
+    mixer_hidden: int
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray) -> jnp.ndarray:
+        """src: (..., grid^3, C) proxy tokens in (x, y, z) scan order."""
+        g = self.grid
+        c = src.shape[-1]
+        lead = src.shape[:-2]
+        x = src.reshape(lead + (g, g, g, c))
+        for ax, name in zip(range(len(lead), len(lead) + 3),
+                            ("mix_x", "mix_y", "mix_z")):
+            moved = jnp.moveaxis(x, ax, -1)                  # (..., C, g)
+            mixed = MLPStack(self.mixer_hidden, g, 3, name=name)(moved)
+            x = x + jnp.moveaxis(mixed, -1, ax)
+            x = nn.LayerNorm(name=f"{name}_ln")(x)
+        x = x.reshape(lead + (g ** 3, c))
+        ff = nn.Dense(2 * c, name="ffn1")(x)
+        ff = nn.Dense(c, name="ffn2")(nn.relu(ff))
+        return nn.LayerNorm(name="ffn_ln")(x + ff)
+
+
+class PointNetSeq(nn.Module):
+    """mppnet_utils.PointNet over the canonical box sequence:
+    pointwise conv stack + BN, max over T -> (box_reg, box_feat)."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, box_seq: jnp.ndarray, train: bool = False):
+        """box_seq: (N, T, 8). Returns reg (N, 7), feat (N, 4*hidden)."""
+        h = box_seq
+        for i, ch in enumerate((self.hidden, 2 * self.hidden,
+                                4 * self.hidden, 4 * self.hidden)):
+            h = nn.Dense(ch, use_bias=False, name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             name=f"bn{i}")(h)
+            h = nn.relu(h)
+        feat = jnp.max(h, axis=1)                            # (N, 4H)
+        reg = nn.Dense(self.hidden, name="reg_fc")(feat)
+        reg = nn.Dense(7, name="reg_out",
+                       kernel_init=nn.initializers.normal(0.001))(
+            nn.relu(reg))
+        return reg, feat
+
+
+class GroupedEncoderLayer(nn.Module):
+    """mppnet_utils.TransformerEncoderLayer.forward_post (:302-345)."""
+    cfg: MPPNetConfig
+    last: bool
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, points: jnp.ndarray):
+        """tokens (G, N, 1, H); points (G, N, P, H)."""
+        c = self.cfg
+        g, n, p, h = points.shape
+        mixed = SpatialMixerBlock(c.proxy_grid, c.mixer_hidden,
+                                  name="mixer")(points)
+        summary = nn.MultiHeadDotProductAttention(
+            num_heads=c.num_heads, name="token_att")(tokens, mixed, mixed)
+        tokens = nn.LayerNorm(name="tok_ln1")(tokens + summary)
+        ff = nn.Dense(2 * h, name="tok_ff1")(tokens)
+        ff = nn.Dense(h, name="tok_ff2")(nn.relu(ff))
+        tokens = nn.LayerNorm(name="tok_ln2")(tokens + ff)
+
+        if not self.last:
+            # inter-group fusion: every group cross-attends a 4-group MLP
+            # fusion of the point tokens (mppnet_utils:325-341)
+            allg = jnp.concatenate([mixed[i] for i in range(g)], -1)
+            fused = MLPStack(h, h, 4, name="fusion_all")(allg)  # (N, P, H)
+            outs = []
+            for i in range(g):
+                ca = nn.MultiHeadDotProductAttention(
+                    num_heads=c.num_heads, name=f"cross{i}")(
+                    mixed[i], fused, fused)
+                outs.append(FFNBlock(2 * h, name=f"ffn{i}")(mixed[i], ca))
+            points = jnp.stack(outs, 0)
+        else:
+            points = mixed
+        return tokens, points
+
+
 class MPPNetHead(nn.Module):
-    """Trajectory refinement head over T frames of cropped points."""
+    """Grouped-transformer trajectory refinement head."""
     cfg: MPPNetConfig
 
     @nn.compact
     def __call__(self, frame_points: jnp.ndarray, point_valid: jnp.ndarray,
                  trajectory_rois: jnp.ndarray, roi_valid: jnp.ndarray,
+                 traj_valid: Optional[jnp.ndarray] = None,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         """
         Args:
           frame_points: (B, T, N, 4) per-frame points (current frame first);
           point_valid: (B, T, N);
           trajectory_rois: (B, T, R, 7) the proposal trajectory;
-          roi_valid: (B, R).
-        Returns {"rcnn_cls" (B, R), "rcnn_reg" (B, R, 7), "tokens"}.
+          roi_valid: (B, R);
+          traj_valid: (B, T, R) per-frame trajectory validity (valid_length).
+        Returns rcnn_cls (B, R), joint_reg (B, R, 7), aux heads, summaries.
         """
         c = self.cfg
         b, t, n, _ = frame_points.shape
         r = trajectory_rois.shape[2]
+        grp = min(c.num_groups, t)
+        assert t % grp == 0, (t, grp)
+        glen = t // grp
+        p3 = c.proxy_grid ** 3
+        if traj_valid is None:
+            traj_valid = jnp.broadcast_to(roi_valid[:, None, :], (b, t, r))
 
         def crop(pts, pv, rois):
             enlarged = boxes3d.enlarge_box3d(rois, c.pool_extra_width)
@@ -97,55 +265,133 @@ class MPPNetHead(nn.Module):
 
         pooled, empty = jax.vmap(jax.vmap(crop))(
             frame_points, point_valid, trajectory_rois)  # (B,T,R,K,3+C)
+        # time channel (crop_*_frame_points: src[..., 4] = i * 0.1)
+        tstamp = (0.1 * jnp.arange(t))[None, :, None, None, None]
+        pooled = jnp.concatenate(
+            [pooled, jnp.broadcast_to(tstamp, pooled.shape[:-1] + (1,))], -1)
+        live = ((~empty) & traj_valid)[..., None, None]
+        pooled = pooled * live.astype(pooled.dtype)
 
-        # proposal-aware geometry: offsets to the 9 proxy points, spherical
-        rois_flat = trajectory_rois.reshape(b * t * r, 7)
-        proxies = corner_proxy_points(rois_flat).reshape(b, t, r, 9, 3)
-        diag = jnp.linalg.norm(trajectory_rois[..., 3:6], axis=-1)  # (B,T,R)
-        off = pooled[..., None, :3] - proxies[:, :, :, None, :, :]  # B,T,R,K,9,3
-        sph = spherical_coordinate(off, diag[..., None, None])
-        geo = sph.reshape(b, t, r, c.points_per_roi, 27)
-        feat_in = jnp.concatenate([geo, pooled[..., 3:]], -1)
+        # --- geometry on raw points: 27 spherical + extra channels -> H ---
+        rois_bt = trajectory_rois.reshape(b * t, r, 7)
+        pts_bt = pooled.reshape(b * t, r, c.points_per_roi, -1)
+        geo = proposal_aware_feature(
+            pts_bt[..., :3].reshape(b * t * r, c.points_per_roi, 3),
+            rois_bt.reshape(b * t * r, 7))
+        geo = jnp.concatenate(
+            [geo, pts_bt.reshape(b * t * r, c.points_per_roi, -1)[..., 3:]],
+            -1)                                              # (BTR, K, 29)
+        nrad = len(c.pool_radii)
+        geo = MLPStack(64, c.hidden // nrad, 3,
+                       name="up_dim_geometry")(geo)
 
-        # motion: offset to the CURRENT-frame box center + time embedding
-        cur_center = trajectory_rois[:, :1, :, None, :3]
-        motion = pooled[..., :3] - cur_center
-        time_emb = self.param("time_embedding",
-                              nn.initializers.normal(0.02),
-                              (c.num_frames, c.hidden))
-        feat_in = jnp.concatenate([feat_in, motion], -1)
+        # --- pool onto the proxy grid per (frame, box) ---------------------
+        # inline StackSAModuleMSG (roi_grid_pool:403-442): multi-radius ball
+        # query + relative-xyz concat + shared MLP + max. BN runs over the
+        # whole (BTR, P, S) extent natively, so no module-level vmap.
+        proxies = dense_proxy_points(rois_bt.reshape(b * t * r, 7),
+                                     c.proxy_grid)           # (BTR, P, 3)
+        pts_xyz = pts_bt.reshape(b * t * r, c.points_per_roi, -1)[..., :3]
+        pvalid = jnp.broadcast_to(
+            live.reshape(b * t * r, 1), (b * t * r, c.points_per_roi))
+        pooled_scales = []
+        for i, (rad, ns) in enumerate(zip(c.pool_radii, c.pool_nsamples)):
+            idx, qempty = jax.vmap(
+                lambda x, q, v: ball_query(rad, ns, x, q, v))(
+                pts_xyz, proxies, pvalid)                    # (BTR, P, ns)
+            gx = jax.vmap(grouping_operation)(pts_xyz, idx) \
+                - proxies[:, :, None, :]
+            gf = jax.vmap(grouping_operation)(geo, idx)
+            h = jnp.concatenate([gx, gf], -1)
+            h = nn.Dense(c.hidden // nrad, use_bias=False,
+                         name=f"pool_mlp{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             name=f"pool_bn{i}")(h)
+            h = jnp.max(nn.relu(h), axis=2)
+            pooled_scales.append(
+                h * (~qempty)[..., None].astype(h.dtype))
+        proxy_feat = jnp.concatenate(pooled_scales, -1)      # (BTR, P, H)
 
-        h = nn.Dense(c.hidden, name="point_mlp1")(feat_in)
-        h = nn.relu(h)
-        h = nn.Dense(c.hidden, name="point_mlp2")(h)
-        live = (~empty)[..., None, None]
-        h = h * live.astype(h.dtype)
-        frame_tok = jnp.max(jnp.where(live, h, -jnp.inf), axis=3)
-        frame_tok = jnp.where(jnp.isfinite(frame_tok), frame_tok, 0.0)
-        frame_tok = frame_tok + time_emb[None, :t, None, :]   # (B,T,R,H)
+        # --- motion on proxy points: offsets to the CURRENT box + time ----
+        cur_rois = jnp.broadcast_to(
+            trajectory_rois[:, :1], (b, t, r, 7)).reshape(b * t * r, 7)
+        msph = proposal_aware_feature(proxies, cur_rois)
+        tpad = jnp.zeros(msph.shape[:-1] + (2,))
+        tch = jnp.broadcast_to(
+            (0.1 * jnp.arange(t))[None, :, None, None, None],
+            (b, t, r, p3, 1)).reshape(b * t * r, p3, 1)
+        motion = MLPStack(64, c.hidden, 3, name="up_dim_motion")(
+            jnp.concatenate([msph, tpad, tch], -1))          # (BTR, P, H)
 
-        # transformer over the frame axis with a learnable global token
-        tokens = jnp.swapaxes(frame_tok, 1, 2).reshape(b * r, t, c.hidden)
-        g = self.param("global_token", nn.initializers.normal(0.02),
-                       (1, 1, c.hidden))
-        tokens = jnp.concatenate(
-            [jnp.broadcast_to(g, (b * r, 1, c.hidden)), tokens], axis=1)
+        src = (proxy_feat + motion).reshape(b, t, r, p3, c.hidden)
+        src = src * traj_valid[..., None, None].astype(src.dtype)
+        frame_summary = jnp.max(src, axis=3)                 # (B, T, R, H)
+
+        # --- grouping: sequence-stride interleave (frames i, i+G, ...) ----
+        src = jnp.swapaxes(src, 1, 2).reshape(b * r, t, p3, c.hidden)
+        groups = src.reshape(b * r, glen, grp, p3, c.hidden)  # frame = l*G+g
+        groups = jnp.moveaxis(groups, 2, 0)                  # (G, N, L, P, H)
+        if glen > 1:
+            merged = jnp.moveaxis(groups, 2, -2).reshape(
+                grp, b * r, p3, glen * c.hidden)
+            fused = MLPStack(c.hidden, c.hidden, 4,
+                             name="fusion_all_group")(merged)
+            points = FFNBlock(2 * c.hidden, name="fusion_norm")(
+                groups[:, :, 0], fused)                      # (G, N, P, H)
+        else:
+            points = groups[:, :, 0]
+
+        gtok = self.param("group_tokens", nn.initializers.zeros,
+                          (grp, 1, 1, c.hidden))
+        tokens = jnp.broadcast_to(gtok, (grp, b * r, 1, c.hidden))
+
+        tok_layers = []
         for i in range(c.num_layers):
-            att = nn.SelfAttention(num_heads=c.num_heads,
-                                   name=f"att{i}")(tokens)
-            tokens = nn.LayerNorm(name=f"ln{i}a")(tokens + att)
-            ff = nn.Dense(c.hidden * 2, name=f"ff{i}_1")(tokens)
-            ff = nn.Dense(c.hidden, name=f"ff{i}_2")(nn.relu(ff))
-            tokens = nn.LayerNorm(name=f"ln{i}b")(tokens + ff)
-        summary = tokens[:, 0].reshape(b, r, c.hidden)
+            tokens, points = GroupedEncoderLayer(
+                c, last=(i == c.num_layers - 1), name=f"enc{i}")(
+                tokens, points)
+            tok_layers.append(tokens[:, :, 0])               # (G, N, H)
 
-        valid = roi_valid[..., None].astype(summary.dtype)
-        rcnn_cls = nn.Dense(1, name="cls_out")(summary)[..., 0] * valid[..., 0]
-        rcnn_reg = nn.Dense(7, name="reg_out",
-                            kernel_init=nn.initializers.normal(0.001))(
-            summary) * valid
-        return {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg,
-                "frame_tokens": frame_tok}
+        # --- auxiliary box-sequence branch ---------------------------------
+        tstamp_b = jnp.broadcast_to(
+            (0.1 * jnp.arange(t))[None, :, None, None], (b, t, r, 1))
+        box_seq = jnp.concatenate(
+            [trajectory_rois[..., :7], tstamp_b], -1)        # (B, T, R, 8)
+        box_seq = box_seq.at[..., 0:3].set(
+            box_seq[..., 0:3] - box_seq[:, 0:1, :, 0:3])
+        ry0 = trajectory_rois[:, 0, :, 6]                    # (B, R)
+        seq = jnp.swapaxes(box_seq, 1, 2).reshape(b * r, t, 8)
+        rot = rotate_points_along_z(seq[..., :3], -ry0.reshape(b * r))
+        seq = jnp.concatenate([rot, seq[..., 3:]], -1)
+        seq = seq.at[..., 6].set(0.0)
+        box_reg, box_feat = PointNetSeq(c.hidden, name="seqboxembed")(
+            seq, train)                                      # (N,7),(N,4H)
+
+        # --- heads (class/bbox embeds SHARED across layers, reference
+        # class_embed[0] / bbox_embed[group]) -------------------------------
+        cls_head = nn.Dense(1, name="class_embed")
+        bbox_heads = [MLPStack(c.hidden, 7, 4, name=f"bbox_embed{g}")
+                      for g in range(grp)]
+        point_cls = jnp.stack(
+            [cls_head(tl[0])[..., 0] for tl in tok_layers], 0)  # (L, N)
+        point_reg = jnp.stack(
+            [jnp.stack([bbox_heads[g](tl[g]) for g in range(grp)], 0)
+             for tl in tok_layers], 0)                       # (L, G, N, 7)
+        hs = jnp.concatenate([tok_layers[-1][g] for g in range(grp)], -1)
+        joint_reg = MLPStack(c.hidden, 7, 4, name="jointembed")(
+            jnp.concatenate([hs, box_feat], -1))             # (N, 7)
+
+        valid = roi_valid.reshape(b * r).astype(joint_reg.dtype)
+        shape_br = (b, r)
+        out = {
+            "rcnn_cls": (point_cls[-1] * valid).reshape(shape_br),
+            "rcnn_cls_layers": point_cls * valid[None],
+            "point_reg": point_reg * valid[None, None, :, None],
+            "box_reg": (box_reg * valid[:, None]).reshape(b, r, 7),
+            "rcnn_reg": (joint_reg * valid[:, None]).reshape(b, r, 7),
+            "frame_tokens": jnp.swapaxes(frame_summary, 1, 2),  # (B,R,T,H)
+        }
+        return out
 
 
 class MPPNetDetector(nn.Module):
@@ -156,20 +402,24 @@ class MPPNetDetector(nn.Module):
 
     @nn.compact
     def __call__(self, frame_points, point_valid, trajectory_rois, roi_valid,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
+                 traj_valid=None, train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
         out = MPPNetHead(self.mp_cfg, name="head")(
-            frame_points, point_valid, trajectory_rois, roi_valid, train)
+            frame_points, point_valid, trajectory_rois, roi_valid,
+            traj_valid, train)
         out["rois"] = trajectory_rois[:, 0]
         out["roi_valid"] = roi_valid
         return out
 
     def loss(self, preds, gt_boxes, gt_classes, gt_valid
              ) -> Dict[str, jnp.ndarray]:
-        """IoU-guided confidence + canonical box regression
-        (mppnet_head.get_loss:801-960, simplified to the active terms)."""
+        """IoU-guided confidence (per encoder layer) + canonical box
+        regression on the joint head, with point/box auxiliary terms
+        (mppnet_head.get_loss:801-960)."""
         c = self.mp_cfg
         coder = ResidualCoder()
         rois = preds["rois"]
+        b, r = rois.shape[:2]
         iou = jax.vmap(boxes3d.boxes_iou3d)(rois, gt_boxes)   # (B, R, G)
         iou = jnp.where(gt_valid[:, None, :], iou, 0.0)
         best = iou.max(-1)
@@ -181,14 +431,34 @@ class MPPNetDetector(nn.Module):
         cls_t = jnp.where(fg, 1.0, jnp.where(bg, 0.0, soft))
         cls_t = jnp.where(preds["roi_valid"], cls_t, -1.0)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        cls_loss = roi_cls_loss(flat(preds["rcnn_cls"]), flat(cls_t))
+        # per-layer supervision of the token class logits (get_box_cls_
+        # layer_loss repeats the targets over enc layers)
+        layers = preds["rcnn_cls_layers"]                      # (L, B*R)
+        cls_loss = sum(roi_cls_loss(layers[i], cls_t.reshape(-1))
+                       for i in range(layers.shape[0])) / layers.shape[0]
         gt_ct = jax.vmap(canonical_gt_transform)(rois, gt_of)
+        reg_fg = (best > 0.55) & preds["roi_valid"]
         reg = roi_box_loss(coder, flat(preds["rcnn_reg"]), flat(rois),
-                           flat(gt_ct), flat(gt_of),
-                           flat((best > 0.55) & preds["roi_valid"]))
+                           flat(gt_ct), flat(gt_of), flat(reg_fg))
+        # auxiliary regressions: per-layer per-group tokens + the box-
+        # sequence branch (get_box_reg_layer_loss aux terms)
+        aux = 0.0
+        pr = preds["point_reg"]                                # (L, G, BR, 7)
+        naux = pr.shape[0] * pr.shape[1] + 1
+        for i in range(pr.shape[0]):
+            for g in range(pr.shape[1]):
+                aux = aux + roi_box_loss(
+                    coder, pr[i, g], flat(rois), flat(gt_ct), flat(gt_of),
+                    flat(reg_fg))["rcnn_loss_reg_total"]
+        aux = aux + roi_box_loss(
+            coder, flat(preds["box_reg"]), flat(rois), flat(gt_ct),
+            flat(gt_of), flat(reg_fg))["rcnn_loss_reg_total"]
+        aux = aux / naux
+        total = cls_loss + reg["rcnn_loss_reg_total"] + c.aux_weight * aux
         return {"rcnn_loss_cls": cls_loss,
                 "rcnn_loss_reg": reg["rcnn_loss_reg"],
-                "loss": cls_loss + reg["rcnn_loss_reg_total"]}
+                "rcnn_loss_aux": aux,
+                "loss": total}
 
     def predict(self, preds) -> Dict[str, jnp.ndarray]:
         coder = ResidualCoder()
@@ -210,10 +480,12 @@ class MPPNetE2EDetector(MPPNetDetector):
 
     @nn.compact
     def __call__(self, frame_points, point_valid, trajectory_rois, roi_valid,
-                 memory: Optional[jnp.ndarray] = None, train: bool = False):
+                 memory: Optional[jnp.ndarray] = None, traj_valid=None,
+                 train: bool = False):
         out = MPPNetHead(self.mp_cfg, name="head")(
-            frame_points, point_valid, trajectory_rois, roi_valid, train)
-        tok = out["frame_tokens"][:, 0]            # current frame summary
+            frame_points, point_valid, trajectory_rois, roi_valid,
+            traj_valid, train)
+        tok = out["frame_tokens"][:, :, 0]         # (B, R, H) current frame
         if memory is None:
             memory = jnp.zeros(
                 (tok.shape[0], self.mp_cfg.num_frames) + tok.shape[1:],
@@ -226,19 +498,38 @@ class MPPNetE2EDetector(MPPNetDetector):
 
 
 def generate_trajectory(cur_boxes: jnp.ndarray,
-                        prev_boxes: jnp.ndarray) -> jnp.ndarray:
-    """Constant-velocity trajectory linking (mppnet_head.generate_trajectory
-    :635-659, simplified): each current box's past-frame hypothesis is its
-    nearest previous-frame proposal (fallback: the box itself).
+                        prev_boxes: jnp.ndarray,
+                        iou_thresh: float = 0.5
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Velocity-propagated trajectory linking (mppnet_head.generate_
+    trajectory:635-659): frame i's hypothesis is frame i-1's trajectory box
+    advanced by its velocity (columns 7:9 when present); the best-IoU
+    previous-frame proposal replaces it when IoU >= iou_thresh, else the
+    hypothesis is kept and the frame is marked invalid in valid_length.
 
-    cur_boxes (R, 7), prev_boxes (T-1, P, 7) -> (T, R, 7)."""
-    def link(prev):
-        d = jnp.sum((cur_boxes[:, None, :2] - prev[None, :, :2]) ** 2, -1)
-        idx = jnp.argmin(d, axis=1)
-        return prev[idx]
+    cur_boxes (R, C>=7), prev_boxes (T-1, P, C>=7) ->
+    trajectory (T, R, C), valid_length (T, R) bool.
+    """
+    t1 = prev_boxes.shape[0]
+    r = cur_boxes.shape[0]
+    has_vel = cur_boxes.shape[-1] >= 9
 
-    past = jax.vmap(link)(prev_boxes)              # (T-1, R, 7)
-    return jnp.concatenate([cur_boxes[None], past], axis=0)
+    def step(traj_prev, props):
+        hyp = traj_prev
+        if has_vel:
+            hyp = hyp.at[:, 0:2].add(traj_prev[:, 7:9])
+        iou = boxes3d.boxes_iou3d(hyp[:, :7], props[:, :7])  # (R, P)
+        best = iou.max(axis=1)
+        idx = iou.argmax(axis=1)
+        matched = best >= iou_thresh
+        nxt = jnp.where(matched[:, None], props[idx], hyp)
+        return nxt, (nxt, matched)
+
+    _, (frames, valids) = jax.lax.scan(step, cur_boxes, prev_boxes)
+    traj = jnp.concatenate([cur_boxes[None], frames], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones((1, r), bool), valids], axis=0)
+    return traj, valid
 
 
 @register_detector("MPPNet")

@@ -35,13 +35,22 @@ def test_spherical_coordinate_unit():
     np.testing.assert_allclose(s[0], [1.0, 1.0, 0.0], atol=1e-5)
 
 
-def test_generate_trajectory_links_nearest():
+def test_generate_trajectory_links_by_iou():
     cur = jnp.asarray([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]])
     prev = jnp.asarray([[[50.0, 0, 0, 4, 2, 1.5, 0],
                          [0.5, 0.1, 0, 4, 2, 1.5, 0]]])   # (1, P=2, 7)
-    traj = generate_trajectory(cur, prev)
+    traj, valid = generate_trajectory(cur, prev)
     assert traj.shape == (2, 1, 7)
+    # the overlapping proposal (IoU ~0.7) is linked; frame marked valid
     np.testing.assert_allclose(traj[1, 0, 0], 0.5, atol=1e-6)
+    assert bool(valid[0, 0]) and bool(valid[1, 0])
+
+    # no overlapping proposal: hypothesis kept, frame marked invalid
+    far = jnp.asarray([[[50.0, 0, 0, 4, 2, 1.5, 0]]])
+    traj2, valid2 = generate_trajectory(cur, far)
+    np.testing.assert_allclose(np.asarray(traj2[1, 0]),
+                               np.asarray(cur[0]), atol=1e-6)
+    assert not bool(valid2[1, 0])
 
 
 def _mf_inputs(t=3, n=128, r=6, seed=0):
@@ -66,7 +75,9 @@ def test_mppnet_train_and_predict():
     @jax.jit
     def run(fp, pv, tr, rv):
         variables = model.init(jax.random.PRNGKey(0), fp, pv, tr, rv)
-        return variables, model.apply(variables, fp, pv, tr, rv, train=True)
+        preds, _ = model.apply(variables, fp, pv, tr, rv, train=True,
+                               mutable=["batch_stats"])
+        return variables, preds
 
     variables, preds = run(fp, pv, tr, rv)
     gt = tr[:, 0, :2] + 0.1
@@ -92,3 +103,30 @@ def test_mppnet_e2e_memory_rolls():
     # newest slot holds the current tokens; the old newest moved to slot 1
     np.testing.assert_allclose(np.asarray(out2["memory"][:, 1]),
                                np.asarray(out1["memory"][:, 0]), atol=1e-6)
+
+
+def test_mppnet_architecture_structure():
+    """The head carries the reference's structural pieces: proxy-grid
+    pooling MLPs, per-axis spatial mixers, grouped encoder with inter-group
+    cross-attention, shared class/bbox embeds, PointNet box branch."""
+    cfg = tiny_voxel_cfg("SECOND")
+    mp = MPPNetConfig(num_frames=4, num_groups=2, points_per_roi=16,
+                      hidden=16, num_heads=2, num_layers=2)
+    model = MPPNetDetector(cfg, mp)
+    fp, pv, tr, rv = _mf_inputs(t=4)
+    variables = jax.jit(lambda *a: model.init(jax.random.PRNGKey(0), *a))(
+        fp, pv, tr, rv)
+    head = variables["params"]["head"]
+    assert "pool_mlp0" in head and "pool_mlp1" in head
+    assert "up_dim_geometry" in head and "up_dim_motion" in head
+    assert "seqboxembed" in head and "jointembed" in head
+    assert "fusion_all_group" in head          # 4 frames / 2 groups
+    enc0 = head["enc0"]
+    assert "mixer" in enc0 and "mix_x" in enc0["mixer"]
+    assert "cross0" in enc0 and "fusion_all" in enc0
+    enc1 = head["enc1"]                        # last layer: no cross-att
+    assert "cross0" not in enc1
+    assert head["group_tokens"].shape == (2, 1, 1, 16)
+    # shared heads: one class embed, one bbox embed per group
+    assert "class_embed" in head
+    assert "bbox_embed0" in head and "bbox_embed1" in head
