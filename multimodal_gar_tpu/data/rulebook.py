@@ -195,6 +195,13 @@ def add_x_window_maps(rb: Dict[str, np.ndarray], coords0: np.ndarray,
     backbone before the first conv); downsampled stages are already
     key-sorted by construction (np.unique / std::sort in both builders).
     """
+    try:
+        from ..native import native_xwindow
+        if native_xwindow(rb, coords0, n_valid0, spatial_shape,
+                          max_voxels_per_stage):
+            return rb
+    except ImportError:
+        pass
     cap0 = max_voxels_per_stage[0]
     n_valid0 = min(n_valid0, cap0, len(coords0))
     c0 = np.full((cap0, 3), -(10 ** 6), np.int64)

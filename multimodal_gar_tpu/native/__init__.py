@@ -34,7 +34,12 @@ def load_native() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src_dir = os.path.dirname(_LIB_PATH)
+    stale = os.path.exists(_LIB_PATH) and any(
+        os.path.getmtime(os.path.join(src_dir, f)) > os.path.getmtime(
+            _LIB_PATH)
+        for f in os.listdir(src_dir) if f.endswith(".cpp"))
+    if stale or not os.path.exists(_LIB_PATH):
         _try_build()
     if not os.path.exists(_LIB_PATH):
         return None
@@ -111,3 +116,52 @@ def native_rulebook(coords: np.ndarray, n_valid: int, spatial_shape,
         out[f"down_{k}"] = down[k]
         out[f"nbr_{k}"] = nbr[k]
     return out
+
+
+def native_xwindow(rb: dict, coords0: np.ndarray, n_valid0: int,
+                   spatial_shape, caps) -> bool:
+    """C++ x-window maps (order_0/win_k/dwin_k) appended into ``rb``.
+
+    Requires the stage active sets already present in ``rb`` (coords_k /
+    count_k from either rulebook builder). Returns False when the native
+    library is unavailable (callers fall back to numpy).
+    """
+    lib = load_native()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_xwindow_bound"):
+        try:
+            lib.mgar_build_xwindow
+        except AttributeError:
+            return False                         # stale .so: rebuild needed
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.mgar_build_xwindow.restype = None
+        lib.mgar_build_xwindow.argtypes = (
+            [i32p, ctypes.c_int,
+             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p]
+            + [i32p, ctypes.c_int] * 3 + [i32p] * 8)
+        lib._xwindow_bound = True
+    caps = np.ascontiguousarray(caps, np.int32)
+    cap0 = int(caps[0])
+    c0 = np.full((cap0, 3), -1, np.int32)
+    n0 = int(min(n_valid0, cap0, len(coords0)))
+    c0[:n0] = coords0[:n0]
+    order0 = np.empty((cap0,), np.int32)
+    wins = [np.empty((int(caps[k]), 9), np.int32) for k in range(4)]
+    dwins = [None] + [np.empty((int(caps[k]), 9), np.int32)
+                      for k in range(1, 4)]
+    cks = [np.ascontiguousarray(rb[f"coords_{k}"], np.int32)
+           for k in range(1, 4)]
+    z, y, x = spatial_shape
+    lib.mgar_build_xwindow(
+        c0, n0, z, y, x, caps,
+        cks[0], int(rb["count_1"]), cks[1], int(rb["count_2"]),
+        cks[2], int(rb["count_3"]),
+        order0, wins[0], wins[1], wins[2], wins[3],
+        dwins[1], dwins[2], dwins[3])
+    rb["order_0"] = order0
+    for k in range(4):
+        rb[f"win_{k}"] = wins[k]
+        if k > 0:
+            rb[f"dwin_{k}"] = dwins[k]
+    return True

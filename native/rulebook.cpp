@@ -168,3 +168,133 @@ void mgar_build_rulebook(const int32_t* coords0, int n_valid0,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// x-window maps (see multimodal_gar_tpu/data/rulebook.py docstring): for
+// each query and (dz, dy) tap pair, one packed int32 carries the window
+// position j = lower_bound(sorted keys, center-tap key) in its low 20 bits
+// and, in bits 20..25, the window slot (0..2 of rows j-1, j, j+1; 3 =
+// absent) holding each dx in {-1, 0, +1} tap.
+
+namespace {
+
+constexpr int kPosBits = 20;
+
+void window_map(const int32_t* qc, int nq, int cap, const int64_t* in_shape,
+                const std::vector<int64_t>& skeys, int stride,
+                const int* pad, bool centered, int32_t* out) {
+  const int32_t none = (int32_t)((3 | (3 << 2) | (3 << 4)) << kPosBits);
+  std::fill(out, out + (size_t)cap * 9, none);
+  const int n_in = (int)skeys.size();
+  if (n_in == 0) return;
+  for (int i = 0; i < nq; ++i) {
+    const int32_t* c = qc + 3 * i;
+    int p = 0;
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b, ++p) {
+        int64_t zs, ys, xs;
+        if (centered) {
+          zs = c[0] + a - 1; ys = c[1] + b - 1; xs = c[2];
+        } else {
+          zs = (int64_t)c[0] * stride - pad[0] + a;
+          ys = (int64_t)c[1] * stride - pad[1] + b;
+          xs = (int64_t)c[2] * stride - pad[2] + 1;
+        }
+        if (zs < 0 || zs >= in_shape[0] || ys < 0 || ys >= in_shape[1])
+          continue;                                   // keeps sel = none
+        const int64_t ck = (zs * in_shape[1] + ys) * in_shape[2] + xs;
+        int j = (int)(std::lower_bound(skeys.begin(), skeys.end(), ck) -
+                      skeys.begin());
+        const int pos = std::min(std::max(j, 0), n_in - 1);
+        int sel = 0;
+        for (int dxi = 0; dxi < 3; ++dxi) {
+          const int64_t xt = xs + dxi - 1;
+          int slot = 3;
+          if (xt >= 0 && xt < in_shape[2]) {
+            const int64_t t = ck + dxi - 1;
+            for (int w = 0; w < 3; ++w) {
+              const int row = pos - 1 + w;
+              if (row >= 0 && row < n_in && skeys[row] == t) {
+                slot = w;
+                break;
+              }
+            }
+          }
+          sel |= slot << (2 * dxi);
+        }
+        out[(size_t)i * 9 + p] = pos | (sel << kPosBits);
+      }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Appends the x-window maps given the already-built stage active sets.
+//   coords0 (caps[0], 3) UNSORTED stage-0 coords (first n0 valid);
+//   coords{1..3} the (key-sorted) downsampled sets from mgar_build_rulebook.
+// Outputs: order0 (caps[0],) int32; win{0..3} (caps[k], 9); dwin{1..3}.
+void mgar_build_xwindow(const int32_t* coords0, int n0,
+                        int64_t z, int64_t y, int64_t x,
+                        const int32_t* caps,
+                        const int32_t* coords1, int n1,
+                        const int32_t* coords2, int n2,
+                        const int32_t* coords3, int n3,
+                        int32_t* order0, int32_t* win0, int32_t* win1,
+                        int32_t* win2, int32_t* win3, int32_t* dwin1,
+                        int32_t* dwin2, int32_t* dwin3) {
+  const int strides[4] = {1, 2, 2, 2};
+  const int pads[4][3] = {{1, 1, 1}, {1, 1, 1}, {1, 1, 1}, {0, 1, 1}};
+  int64_t shape[3] = {z, y, x};
+  n0 = std::min(n0, caps[0]);
+
+  // stage-0: stable key sort -> order0 + sorted coords/keys
+  std::vector<std::pair<int64_t, int32_t>> keyed((size_t)caps[0]);
+  for (int i = 0; i < caps[0]; ++i) {
+    int64_t k = INT64_MAX;
+    const int32_t* c = coords0 + 3 * i;
+    if (i < n0 && c[0] >= 0 && c[0] < z && c[1] >= 0 && c[1] < y &&
+        c[2] >= 0 && c[2] < x)
+      k = ((int64_t)c[0] * y + c[1]) * x + c[2];
+    keyed[i] = {k, (int32_t)i};
+  }
+  std::stable_sort(keyed.begin(), keyed.end());
+  std::vector<int32_t> sc0((size_t)3 * caps[0]);
+  std::vector<int64_t> skeys0;
+  skeys0.reserve(n0);
+  for (int i = 0; i < caps[0]; ++i) {
+    order0[i] = keyed[i].second;
+    const int32_t* c = coords0 + 3 * keyed[i].second;
+    sc0[3 * i] = c[0]; sc0[3 * i + 1] = c[1]; sc0[3 * i + 2] = c[2];
+    if (keyed[i].first != INT64_MAX) skeys0.push_back(keyed[i].first);
+  }
+
+  const int32_t* cs[4] = {sc0.data(), coords1, coords2, coords3};
+  const int ns[4] = {(int)skeys0.size(), n1, n2, n3};
+  int32_t* wins[4] = {win0, win1, win2, win3};
+  int32_t* dwins[4] = {nullptr, dwin1, dwin2, dwin3};
+
+  std::vector<int64_t> skeys = skeys0;
+  for (int k = 0; k < 4; ++k) {
+    if (k > 0) {
+      int64_t out_shape[3];
+      for (int d = 0; d < 3; ++d)
+        out_shape[d] = (shape[d] + 2 * pads[k][d] - kKernel) / strides[k] + 1;
+      // dwin: stage-k (sorted) outputs against stage k-1 sorted keys
+      window_map(cs[k], ns[k], caps[k], shape, skeys, strides[k], pads[k],
+                 /*centered=*/false, dwins[k]);
+      for (int d = 0; d < 3; ++d) shape[d] = out_shape[d];
+      skeys.clear();
+      skeys.reserve(ns[k]);
+      for (int i = 0; i < ns[k]; ++i) {
+        const int32_t* c = cs[k] + 3 * i;
+        skeys.push_back(((int64_t)c[0] * shape[1] + c[1]) * shape[2] + c[2]);
+      }
+    }
+    window_map(cs[k], ns[k], caps[k], shape, skeys, 1, pads[k],
+               /*centered=*/true, wins[k]);
+  }
+}
+
+}  // extern "C"
