@@ -70,6 +70,11 @@ class DataConfig:
     # boxes/ids come from the key frame. False (default) = labels from the
     # key frame (the fix); True = bug-compatible clip-start labels.
     actions_from_clip_start: bool = False
+    # JPEG DCT-domain pre-scaling on decode (PIL Image.draft): near-free
+    # power-of-two downscale inside libjpeg when the source is >= 2x the
+    # target size; a no-op otherwise. False = full decode + bilinear only
+    # (bit-parity with the reference's torchvision Resize path).
+    jpeg_draft: bool = True
 
 
 # ---------------------------------------------------------------------------

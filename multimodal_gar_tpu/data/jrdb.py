@@ -97,7 +97,15 @@ class JRDBActDataset:
         if not os.path.exists(path):
             path = self._image_path(sid, key_fid)
         h, w = self.cfg.image_size
-        img = Image.open(path).convert("RGB").resize((w, h), Image.BILINEAR)
+        img = Image.open(path)
+        # JPEG DCT-domain pre-scaling: when the source is >= 2x the target,
+        # libjpeg decodes at the nearest power-of-two fraction >= (w, h)
+        # nearly for free (a no-op otherwise). The single host core is the
+        # pipeline bottleneck (ROUND3 notes); the final bilinear resize
+        # below still lands exactly on (w, h).
+        if getattr(self.cfg, "jpeg_draft", True):
+            img.draft("RGB", (w, h))
+        img = img.convert("RGB").resize((w, h), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
         return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
