@@ -85,6 +85,11 @@ class DetectorConfig:
     bev_num_upsample_filters: Tuple[int, ...] = (256, 256)
     # pillar families
     pillar_filters: Tuple[int, ...] = (64,)
+    # x-window sparse-conv gathers for the VoxelBackbone8x trunk (see
+    # models/sparse_backbone.window_gather); safe wherever downstream
+    # consumers are voxel-order-agnostic (the BEV scatter is). UNetV2
+    # keeps the nbr path (its decoder pairs rows with the input set).
+    x_window: bool = False
     dtype: str = "float32"
 
     @property
@@ -151,7 +156,7 @@ class VoxelDenseTrunk(nn.Module):
                           valid=batch.voxel_valid,
                           spatial_shape=c.sparse_shape)
         ms = VoxelBackbone8x(max_voxels_per_stage=c.max_voxels_per_stage,
-                             dtype=c.compute_dtype,
+                             dtype=c.compute_dtype, x_window=c.x_window,
                              name="backbone_3d")(st, train, batch.rulebook)
         out = SparseOutConv(128, max_out_voxels=c.max_voxels_per_stage[3],
                             dtype=c.compute_dtype, name="conv_out")(

@@ -132,3 +132,40 @@ def test_backbone_xwindow_parity():
         np.testing.assert_allclose(np.asarray(out_old[k].features),
                                    np.asarray(out_new[k].features),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_second_detector_xwindow_parity():
+    """SECOND with x_window on == off (BEV scatter is order-agnostic)."""
+    import dataclasses
+
+    from multimodal_gar_tpu.data.rulebook import build_rulebook
+    from multimodal_gar_tpu.detection.detectors import build_detector
+    from tests.test_detection import det_batch, tiny_voxel_cfg
+
+    cfg = tiny_voxel_cfg("SECOND")
+    batch = det_batch(cfg, m=64, g=3, seed=5)
+    caps = (64,) + tuple(cfg.max_voxels_per_stage[1:])  # stage-0 cap == m
+    rbs = []
+    for b in range(batch.voxel_coords.shape[0]):
+        coords = np.asarray(batch.voxel_coords[b])
+        n = int(np.asarray(batch.voxel_valid[b]).sum())
+        rbs.append(build_rulebook(coords, n, cfg.sparse_shape,
+                                  caps, x_window=True))
+    rb = {k: jnp.asarray(np.stack([r[k] for r in rbs])) for k in rbs[0]}
+    batch = batch.replace(rulebook=rb)
+
+    model_off = build_detector("SECOND", cfg)
+    model_on = build_detector("SECOND", dataclasses.replace(cfg,
+                                                            x_window=True))
+    variables = jax.jit(lambda b: model_off.init(
+        jax.random.PRNGKey(0), b, train=False))(batch)
+    p_off = jax.jit(lambda v, b: model_off.apply(v, b, train=False))(
+        variables, batch)
+    p_on = jax.jit(lambda v, b: model_on.apply(v, b, train=False))(
+        variables, batch)
+    np.testing.assert_allclose(np.asarray(p_off["cls_preds"]),
+                               np.asarray(p_on["cls_preds"]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_off["box_preds"]),
+                               np.asarray(p_on["box_preds"]),
+                               atol=1e-4, rtol=1e-4)

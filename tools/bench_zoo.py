@@ -76,9 +76,13 @@ def bench_detector(name: str, batch_size: int = 1, k: int = 8):
         default_config
     from multimodal_gar_tpu.detection.train import (create_det_train_state,
                                                     make_det_train_step)
+    import dataclasses
 
-    cfg = default_config(name)
-    model = build_detector(name, cfg)
+    base, _, variant = name.partition(":")
+    cfg = default_config(base)
+    if variant == "xwin":
+        cfg = dataclasses.replace(cfg, x_window=True)
+    model = build_detector(base, cfg)
     ds = _SyntheticKitti(cfg)
     t0 = time.perf_counter()
     batch = assemble_det_batch(ds, list(range(batch_size)), cfg.voxel_size,
