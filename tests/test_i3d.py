@@ -330,3 +330,77 @@ def test_unit3d_t2d_matches_3d_conv():
     # contraction): bitwise equality is not expected
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=1e-4)
+
+
+def _torch_same_pad_pool3d(x, k, s):
+    """TF-SAME max pool in torch (pad with -inf)."""
+    _, _, t, h, wd = x.shape
+    pads = []
+    for dim, kk, ss in zip((t, h, wd), k, s):
+        p = max(kk - ss, 0) if dim % ss == 0 else max(kk - dim % ss, 0)
+        pads.append((p // 2, p - p // 2))
+    x = F.pad(x, (pads[2][0], pads[2][1], pads[1][0], pads[1][1],
+                  pads[0][0], pads[0][1]), value=float("-inf"))
+    return F.max_pool3d(x, k, s)
+
+
+def test_i3d_full_forward_matches_torch_replica():
+    """The COMPOSED I3D trunk (stem -> pools -> 2b/2c -> Mixed_3b..4f)
+    matches an independently wired torch replica on transplanted weights —
+    catches inter-module wiring mistakes the per-op tests cannot."""
+    from multimodal_gar_tpu.models.i3d import _INCEPTION_CFG
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 9, 32, 40, 3)).astype(np.float32) * 0.5
+
+    model = InceptionI3d(final_endpoint="Mixed_4f", pallas_stem=False)
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(x))
+    # non-trivial BN stats/affine so folding and placement actually matter
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.01 * (jnp.arange(v.size) % 7).reshape(v.shape),
+        variables)
+    ours = np.asarray(jax.jit(partial(model.apply, train=False))(
+        variables, jnp.asarray(x)))
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def unit(xt, p, s, stride=(1, 1, 1)):
+        w = torch.tensor(np.transpose(p["conv3d"]["kernel"],
+                                      (4, 3, 0, 1, 2)))
+        y = _torch_same_pad_conv3d(xt, w, stride)
+        sh = (1, -1, 1, 1, 1)
+        y = (y - torch.tensor(s["bn"]["mean"]).view(sh)) \
+            / torch.sqrt(torch.tensor(s["bn"]["var"]).view(sh) + 1e-3) \
+            * torch.tensor(p["bn"]["scale"]).view(sh) \
+            + torch.tensor(p["bn"]["bias"]).view(sh)
+        return torch.relu(y)
+
+    def mixed(xt, name):
+        p, s = params[name], stats[name]
+        b0 = unit(xt, p["b0"], s["b0"])
+        b1 = unit(unit(xt, p["b1a"], s["b1a"]), p["b1b"], s["b1b"])
+        b2 = unit(unit(xt, p["b2a"], s["b2a"]), p["b2b"], s["b2b"])
+        b3 = unit(_torch_same_pad_pool3d(xt, (3, 3, 3), (1, 1, 1)),
+                  p["b3b"], s["b3b"])
+        return torch.cat([b0, b1, b2, b3], dim=1)
+
+    with torch.no_grad():
+        t = torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))
+        t = unit(t, params["Conv3d_1a_7x7"], stats["Conv3d_1a_7x7"],
+                 (2, 2, 2))
+        t = _torch_same_pad_pool3d(t, (1, 3, 3), (1, 2, 2))
+        t = unit(t, params["Conv3d_2b_1x1"], stats["Conv3d_2b_1x1"])
+        t = unit(t, params["Conv3d_2c_3x3"], stats["Conv3d_2c_3x3"])
+        t = _torch_same_pad_pool3d(t, (1, 3, 3), (1, 2, 2))
+        t = mixed(t, "Mixed_3b")
+        t = mixed(t, "Mixed_3c")
+        t = _torch_same_pad_pool3d(t, (3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e",
+                     "Mixed_4f"):
+            t = mixed(t, name)
+    ref = np.transpose(t.numpy(), (0, 2, 3, 4, 1))
+
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
