@@ -208,3 +208,48 @@ def test_file_driven_eval_matches_direct(tmp_path):
         f"{d}/activity.txt", f"{d}/gt_activity.txt")
     for k, v in direct.items():
         assert abs(from_files[k] - v) < 1e-6, (k, v, from_files[k])
+
+
+def test_detection_ap_score_transform_and_order_invariance():
+    """AP depends only on the detection RANKING: any strictly-monotone score
+    transform and any input permutation leave it unchanged (AVA protocol
+    property; guards the implementation against accidental use of raw
+    score values or input order)."""
+    rng = np.random.default_rng(7)
+    gt, det = [], []
+    for f in range(6):
+        for g in range(3):
+            c = rng.uniform(0, 50, 2)
+            box = np.array([c[0], c[1], c[0] + 4, c[1] + 4])
+            gt.append((f"f{f}", box))
+            if rng.random() < 0.8:                  # TP-ish detection
+                jitter = rng.uniform(-0.5, 0.5, 2)
+                det.append((f"f{f}", box + np.r_[jitter, jitter],
+                            float(rng.uniform(0.2, 1.0))))
+        for _ in range(2):                          # FPs
+            c = rng.uniform(60, 90, 2)
+            det.append((f"f{f}", np.array([c[0], c[1], c[0] + 3, c[1] + 3]),
+                        float(rng.uniform(0.0, 1.0))))
+    base = detection_ap(det, gt)
+    assert 0.0 < base < 1.0
+
+    squashed = [(f, b, 1.0 / (1.0 + np.exp(-6.0 * (s - 0.5))))
+                for f, b, s in det]
+    assert abs(detection_ap(squashed, gt) - base) < 1e-9
+
+    perm = rng.permutation(len(det))
+    shuffled = [det[i] for i in perm]
+    assert abs(detection_ap(shuffled, gt) - base) < 1e-9
+
+
+def test_detection_ap_duplicates_are_false_positives():
+    """A second detection of an already-matched GT must count as FP and
+    strictly lower AP (one-to-one assignment, AVA/PASCAL rule)."""
+    gt = [("f0", np.array([0, 0, 10, 10.0])),
+          ("f0", np.array([20, 20, 30, 30.0]))]
+    det = [("f0", np.array([0, 0, 10, 10.0]), 0.9),
+           ("f0", np.array([20, 20, 30, 30.0]), 0.8)]
+    base = detection_ap(det, gt)
+    assert base == 1.0
+    dup = det + [("f0", np.array([0.1, 0.1, 10, 10.0]), 0.85)]
+    assert detection_ap(dup, gt) < base
