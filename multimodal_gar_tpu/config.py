@@ -75,6 +75,10 @@ class DataConfig:
     # target size; a no-op otherwise. False = full decode + bilinear only
     # (bit-parity with the reference's torchvision Resize path).
     jpeg_draft: bool = True
+    # Ship raw uint8 frames to the device and normalize there (MGAR entry):
+    # 4x fewer host->device bytes per clip and no host float math. False =
+    # host-side float normalize (the reference's torchvision pipeline).
+    images_uint8: bool = False
 
 
 # ---------------------------------------------------------------------------

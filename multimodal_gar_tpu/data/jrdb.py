@@ -111,6 +111,8 @@ class JRDBActDataset:
         if getattr(self.cfg, "jpeg_draft", True):
             img.draft("RGB", (w, h))
         img = img.convert("RGB").resize((w, h), Image.BILINEAR)
+        if getattr(self.cfg, "images_uint8", False):
+            return np.asarray(img, np.uint8)   # device-side normalize
         arr = np.asarray(img, np.float32)
         arr *= _NORM_SCALE
         arr += _NORM_BIAS

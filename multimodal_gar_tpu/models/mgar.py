@@ -193,8 +193,17 @@ class MGAR(nn.Module):
         modality = mcfg.fusion.modality
         rgb = lidar = None
         if modality in ("RGB", "Multi"):
+            images = batch.images
+            if images.dtype == jnp.uint8:
+                # device-side ImageNet normalize: the host pipeline ships
+                # raw uint8 frames (4x fewer H2D bytes, no host float math —
+                # data.images_uint8) and the conversion fuses into the stem
+                mean = jnp.asarray(self.cfg.data.image_mean, jnp.float32)
+                std = jnp.asarray(self.cfg.data.image_std, jnp.float32)
+                images = images.astype(jnp.float32) * (1.0 / (255.0 * std)) \
+                    - mean / std
             rgb = RGBBackbone(mcfg.rgb, dtype=bb_dtype, name="rgb_backbone")(
-                batch.images.astype(bb_dtype), batch.boxes2d, train,
+                images.astype(bb_dtype), batch.boxes2d, train,
                 valid=batch.person_valid)
             rgb = rgb.astype(jnp.float32)
         if modality in ("LiDAR", "Multi"):
