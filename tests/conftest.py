@@ -27,3 +27,8 @@ assert jax.device_count() == 8
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running overfit/convergence tests")
