@@ -47,10 +47,17 @@ def build_kitti_frame_info(base: str, frame_id: str,
     :153-219). DontCare objects sort to the tail with index -1; lidar boxes
     and point counts cover real objects only."""
     calib = parse_calib(os.path.join(base, "calib", f"{frame_id}.txt"))
+    # per-frame image size (the reference reads it via PIL in get_infos;
+    # KITTI frames vary: 370x1224, 374x1238, 375x1242, ...)
+    image_shape = np.array([375, 1242], np.int32)
+    img_path = os.path.join(base, "image_2", f"{frame_id}.png")
+    if os.path.exists(img_path):
+        from PIL import Image
+        with Image.open(img_path) as im:
+            image_shape = np.array([im.height, im.width], np.int32)
     info: Dict = {
         "point_cloud": {"num_features": 4, "lidar_idx": frame_id},
-        "image": {"image_idx": frame_id,
-                  "image_shape": np.array([375, 1242], np.int32)},
+        "image": {"image_idx": frame_id, "image_shape": image_shape},
         "calib": _calib_info(calib),
     }
     if not has_label:

@@ -21,8 +21,14 @@ import numpy as np
 def assemble_det_batch(dataset, indices: Sequence[int], voxel_size,
                        max_voxels: int, max_points_per_voxel: int = 5,
                        max_points: int = 16384, max_gt: int = 50,
-                       rulebook_caps=None, num_features: int = 4):
-    """Voxelize + pad `dataset.frame(idx)` outputs into one DetBatch."""
+                       rulebook_caps=None, num_features: int = 4,
+                       x_window: bool = False):
+    """Voxelize + pad `dataset.frame(idx)` outputs into one DetBatch.
+
+    x_window: also emit the packed x-window maps (only needed when the
+    consuming detector sets DetectorConfig.x_window; skipped by default to
+    keep the 1-core host pipeline lean).
+    """
     import jax.numpy as jnp
 
     from ..detection.detectors import DetBatch
@@ -60,7 +66,8 @@ def assemble_det_batch(dataset, indices: Sequence[int], voxel_size,
         gt[i, :len(g)] = g[:, :7]
         gtc[i, :len(g)] = fr["gt_classes"][:max_gt]
         gtv[i, :len(g)] = True
-        rbs.append(build_rulebook(vc[i], n, (nz + 1, ny, nx), caps))
+        rbs.append(build_rulebook(vc[i], n, (nz + 1, ny, nx), caps,
+                                  x_window=x_window))
     rulebook = {k: jnp.asarray(np.stack([rb[k] for rb in rbs]))
                 for k in rbs[0]}
     return DetBatch(

@@ -188,9 +188,14 @@ class CaDDNDetector(nn.Module):
             raw_feats, depth_logits = DeepLabV3DDN(
                 cd.num_depth_bins + 1, backbone_name=backbone,
                 name="ffn")(batch.images, train)
-            # DepthFFN's CHANNEL_REDUCE conv (depth_ffn.py): 256 -> C
-            feats = nn.Conv(cd.channel_reduce, (1, 1),
+            # DepthFFN's CHANNEL_REDUCE (depth_ffn.py): BasicBlock2D =
+            # conv (no bias) + BN + ReLU, 256 -> C
+            feats = nn.Conv(cd.channel_reduce, (1, 1), use_bias=False,
                             name="channel_reduce")(raw_feats)
+            feats = nn.BatchNorm(use_running_average=not train,
+                                 epsilon=1e-5, momentum=0.9,
+                                 name="channel_reduce_bn")(feats)
+            feats = nn.relu(feats)
         else:
             feats, depth_logits = DDN(cd, name="ffn")(batch.images, train)
         # frustum features: outer product of depth distribution x features

@@ -46,6 +46,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..models.layers import MaskedBatchNorm
 from ..ops import boxes3d
 from ..ops.geometry import rotate_points_along_z, safe_sqrt
 from ..ops.neighbor import ball_query, grouping_operation
@@ -113,7 +114,8 @@ def proposal_aware_feature(points_xyz: jnp.ndarray, rois: jnp.ndarray
     points_xyz: (R, K, 3); rois: (R, 7).
     """
     proxies = corner_proxy_points(rois)                      # (R, 9, 3)
-    diag = jnp.linalg.norm(rois[:, 3:6], axis=-1)            # (R,)
+    # safe_sqrt: padded ROI rows have all-zero dims (CLAUDE.md convention)
+    diag = safe_sqrt(jnp.sum(rois[:, 3:6] ** 2, axis=-1))    # (R,)
     off = points_xyz[:, :, None, :] - proxies[:, None, :, :]  # (R, K, 9, 3)
     sph = spherical_coordinate(off, diag[:, None, None])
     return sph.reshape(points_xyz.shape[0], points_xyz.shape[1], 27)
@@ -174,14 +176,19 @@ class PointNetSeq(nn.Module):
     hidden: int
 
     @nn.compact
-    def __call__(self, box_seq: jnp.ndarray, train: bool = False):
-        """box_seq: (N, T, 8). Returns reg (N, 7), feat (N, 4*hidden)."""
+    def __call__(self, box_seq: jnp.ndarray, valid: jnp.ndarray,
+                 train: bool = False):
+        """box_seq: (N, T, 8); valid: (N,) real-ROI mask.
+        Returns reg (N, 7), feat (N, 4*hidden)."""
         h = box_seq
         for i, ch in enumerate((self.hidden, 2 * self.hidden,
                                 4 * self.hidden, 4 * self.hidden)):
             h = nn.Dense(ch, use_bias=False, name=f"conv{i}")(h)
-            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                             name=f"bn{i}")(h)
+            # stats masked to real ROI rows (CLAUDE.md convention)
+            h = MaskedBatchNorm(momentum=0.99, epsilon=1e-3,
+                                name=f"bn{i}")(
+                h, mask=jnp.broadcast_to(valid[:, None], h.shape[:-1]),
+                use_running_average=not train)
             h = nn.relu(h)
         feat = jnp.max(h, axis=1)                            # (N, 4H)
         reg = nn.Dense(self.hidden, name="reg_fc")(feat)
@@ -305,8 +312,12 @@ class MPPNetHead(nn.Module):
             h = jnp.concatenate([gx, gf], -1)
             h = nn.Dense(c.hidden // nrad, use_bias=False,
                          name=f"pool_mlp{i}")(h)
-            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                             name=f"pool_bn{i}")(h)
+            # stats masked to live (frame, roi) crops (CLAUDE.md convention)
+            h = MaskedBatchNorm(momentum=0.99, epsilon=1e-3,
+                                name=f"pool_bn{i}")(
+                h, mask=jnp.broadcast_to(pvalid[:, :1, None],
+                                         h.shape[:-1]),
+                use_running_average=not train)
             h = jnp.max(nn.relu(h), axis=2)
             pooled_scales.append(
                 h * (~qempty)[..., None].astype(h.dtype))
@@ -365,7 +376,7 @@ class MPPNetHead(nn.Module):
         seq = jnp.concatenate([rot, seq[..., 3:]], -1)
         seq = seq.at[..., 6].set(0.0)
         box_reg, box_feat = PointNetSeq(c.hidden, name="seqboxembed")(
-            seq, train)                                      # (N,7),(N,4H)
+            seq, roi_valid.reshape(b * r), train)            # (N,7),(N,4H)
 
         # --- heads (class/bbox embeds SHARED across layers, reference
         # class_embed[0] / bbox_embed[group]) -------------------------------
@@ -503,9 +514,12 @@ def generate_trajectory(cur_boxes: jnp.ndarray,
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Velocity-propagated trajectory linking (mppnet_head.generate_
     trajectory:635-659): frame i's hypothesis is frame i-1's trajectory box
-    advanced by its velocity (columns 7:9 when present); the best-IoU
-    previous-frame proposal replaces it when IoU >= iou_thresh, else the
-    hypothesis is kept and the frame is marked invalid in valid_length.
+    advanced by its own velocity (columns 7:9 when present); the best-IoU
+    previous-frame proposal replaces the trajectory entry when
+    IoU >= iou_thresh, else the entry KEEPS the current-frame box (the
+    reference's initialization — the advanced hypothesis is only a probe,
+    so misses do not compound the velocity) and the frame is marked
+    invalid in valid_length.
 
     cur_boxes (R, C>=7), prev_boxes (T-1, P, C>=7) ->
     trajectory (T, R, C), valid_length (T, R) bool.
@@ -522,7 +536,7 @@ def generate_trajectory(cur_boxes: jnp.ndarray,
         best = iou.max(axis=1)
         idx = iou.argmax(axis=1)
         matched = best >= iou_thresh
-        nxt = jnp.where(matched[:, None], props[idx], hyp)
+        nxt = jnp.where(matched[:, None], props[idx], cur_boxes)
         return nxt, (nxt, matched)
 
     _, (frames, valids) = jax.lax.scan(step, cur_boxes, prev_boxes)

@@ -13,8 +13,10 @@ padded sets; the BEV collapse is a fixed-capacity sorted-unique + segment
 sum; the "2D sparse convs" run as 3D submanifold convs on a z=1 plane.
 The reference's stride-1 SparseConv2d conv_out dilates the active set by
 one BEV cell; conv_out here is a true stride-1 sparse conv (kernel
-(1, 3, 3)) whose output active set is the dilated one, so the head scores
-exactly the sites the reference scores.
+(1, 3, 3)) whose output active set is the dilated one, capped at
+``dilate_factor * max_bev_voxels`` sites (lowest linear keys kept — a 3x3
+dilation of mb scattered cells can reach 9x mb; raise ``dilate_factor``
+for extremely spread-out scenes).
 """
 from __future__ import annotations
 
@@ -38,6 +40,10 @@ class VoxelNeXtConfig:
     channels: Tuple[int, ...] = (16, 32, 64, 128, 128)
     out_channel: int = 128
     max_bev_voxels: int = 4000
+    # conv_out dilated-set cap as a multiple of max_bev_voxels (a 3x3 BEV
+    # dilation can reach 9x for fully scattered cells; 4x covers realistic
+    # clustered scenes)
+    dilate_factor: int = 4
     gaussian_overlap: float = 0.1
     min_radius: int = 2
     cls_weight: float = 1.0
@@ -118,7 +124,8 @@ class VoxelNeXtBackbone(nn.Module):
         # BEV cell (reference voxelnext.py conv_out, SparseConv2d k3/s1/p1)
         bev = SparseConvBlock(self.cfg.out_channel, "spconv",
                               kernel_size=(1, 3, 3), stride=1,
-                              padding=(0, 1, 1), max_out_voxels=2 * mb,
+                              padding=(0, 1, 1),
+                              max_out_voxels=self.cfg.dilate_factor * mb,
                               dtype=self.dtype, name="conv_out")(bev, train)
         bev = SparseConvBlock(self.cfg.out_channel, "subm", dtype=self.dtype,
                               name="shared_conv")(bev, train)

@@ -87,7 +87,8 @@ def bench_detector(name: str, batch_size: int = 1, k: int = 8):
     t0 = time.perf_counter()
     batch = assemble_det_batch(ds, list(range(batch_size)), cfg.voxel_size,
                                max_voxels=16000, max_gt=32,
-                               rulebook_caps=cfg.max_voxels_per_stage)
+                               rulebook_caps=cfg.max_voxels_per_stage,
+                               x_window=cfg.x_window)
     host_s = time.perf_counter() - t0
     n_active = int(np.asarray(batch.voxel_valid.sum()))
     print(f"[{name}] host voxelize+rulebook: {host_s:.2f} s, "
