@@ -169,3 +169,32 @@ def test_second_detector_xwindow_parity():
     np.testing.assert_allclose(np.asarray(p_off["box_preds"]),
                                np.asarray(p_on["box_preds"]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_window_conv_pallas_interpret_parity():
+    """Fused Pallas x-window layer == window_gather + einsum (interpret)."""
+    from multimodal_gar_tpu.ops.pallas.window_conv import window_conv_pallas
+
+    rng = np.random.default_rng(3)
+    shape = (4, 6, 8)
+    coords = _dense_coords(shape, rng, drop=0.4)
+    n = len(coords)
+    cap = ((n + 8 + 7) // 8) * 8                  # block divisibility
+    coords_p = np.concatenate(
+        [coords, np.full((cap - n, 3), -1, np.int32)])
+    rb = build_rulebook(coords_p, n, shape, (cap, cap, cap, cap),
+                        x_window=True)
+    c, d = 8, 16
+    feats = rng.normal(size=(cap, c)).astype(np.float32)
+    fs = feats[rb["order_0"]]
+    w = rng.normal(size=(27, c, d)).astype(np.float32) * 0.1
+
+    ref = jnp.einsum("rkc,kcd->rd",
+                     window_gather(jnp.asarray(fs),
+                                   jnp.asarray(rb["win_0"])),
+                     jnp.asarray(w))
+    out = window_conv_pallas(jnp.asarray(fs), jnp.asarray(rb["win_0"]),
+                             jnp.asarray(w), block_rows=cap,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -157,9 +157,41 @@ def probe_d():
               f"(bytes={M*rows*width*4>>20} MB): {t*1e3:.3f} ms", flush=True)
 
 
+def probe_w():
+    """Fused x-window Pallas layer vs the XLA window_gather path."""
+    from multimodal_gar_tpu.models.sparse_backbone import window_gather
+    from multimodal_gar_tpu.ops.pallas.window_conv import window_conv_pallas
+
+    rng = np.random.default_rng(0)
+    m, c, d = 16000, 32, 32
+    feats = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+    # synthetic packed maps: valid positions + random slot selectors
+    pos = rng.integers(0, m, (m, 9)).astype(np.int32)
+    sel = rng.integers(0, 3, (m, 9, 3))
+    packed = pos | ((sel[..., 0] | (sel[..., 1] << 2)
+                     | (sel[..., 2] << 4)) << 20)
+    win = jnp.asarray(packed.astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(27, c, d)).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def xla_path(feats, win, w):
+        return jnp.einsum("rkc,kcd->rd", window_gather(feats, win), w)
+
+    t = timed(xla_path, feats, win, w)
+    print(f"W: XLA window_gather+einsum (M={m}, C={c}, D={d}): "
+          f"{t*1e3:.3f} ms", flush=True)
+    t = timed(lambda f, wn, ww: window_conv_pallas(f, wn, ww), feats, win, w)
+    print(f"W: Pallas fused window conv: {t*1e3:.3f} ms", flush=True)
+    # parity on hardware
+    a = np.asarray(xla_path(feats, win, w))
+    b = np.asarray(window_conv_pallas(feats, win, w))
+    err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    print(f"W: rel max err vs XLA: {err:.2e}", flush=True)
+
+
 def main():
     for name, fn in [("C", probe_c), ("D", probe_d), ("A", probe_a),
-                     ("B", probe_b)]:
+                     ("B", probe_b), ("W", probe_w)]:
         try:
             fn()
         except Exception as e:
