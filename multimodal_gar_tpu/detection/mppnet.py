@@ -242,19 +242,26 @@ class MPPNetHead(nn.Module):
     def __call__(self, frame_points: jnp.ndarray, point_valid: jnp.ndarray,
                  trajectory_rois: jnp.ndarray, roi_valid: jnp.ndarray,
                  traj_valid: Optional[jnp.ndarray] = None,
+                 geo_memory: Optional[jnp.ndarray] = None,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         """
         Args:
-          frame_points: (B, T, N, 4) per-frame points (current frame first);
-          point_valid: (B, T, N);
+          frame_points: (B, T_pts, N, 4) per-frame points (current frame
+            first). T_pts == T, or 1 in the E2E online mode;
+          point_valid: (B, T_pts, N);
           trajectory_rois: (B, T, R, 7) the proposal trajectory;
           roi_valid: (B, R);
-          traj_valid: (B, T, R) per-frame trajectory validity (valid_length).
+          traj_valid: (B, T, R) per-frame trajectory validity (valid_length);
+          geo_memory: (B, T-1, R, P, H) cached per-step proxy GEOMETRY
+            features for the past frames (mppnet_memory_bank_e2e.py
+            feature_bank, aligned to the trajectory rows). Required when
+            T_pts < T; frames with traj_valid False fall back to a repeat
+            of the current frame's features (reference :447-462).
         Returns rcnn_cls (B, R), joint_reg (B, R, 7), aux heads, summaries.
         """
         c = self.cfg
-        b, t, n, _ = frame_points.shape
-        r = trajectory_rois.shape[2]
+        b, t_pts, n, _ = frame_points.shape
+        t, r = trajectory_rois.shape[1:3]
         grp = min(c.num_groups, t)
         assert t % grp == 0, (t, grp)
         glen = t // grp
@@ -271,23 +278,20 @@ class MPPNetHead(nn.Module):
             return pooled, empty                     # (R, K, 3+C), (R,)
 
         pooled, empty = jax.vmap(jax.vmap(crop))(
-            frame_points, point_valid, trajectory_rois)  # (B,T,R,K,3+C)
+            frame_points, point_valid, trajectory_rois[:, :t_pts])
         # time channel (crop_*_frame_points: src[..., 4] = i * 0.1)
-        tstamp = (0.1 * jnp.arange(t))[None, :, None, None, None]
+        tstamp = (0.1 * jnp.arange(t_pts))[None, :, None, None, None]
         pooled = jnp.concatenate(
             [pooled, jnp.broadcast_to(tstamp, pooled.shape[:-1] + (1,))], -1)
-        live = ((~empty) & traj_valid)[..., None, None]
+        live = ((~empty) & traj_valid[:, :t_pts])[..., None, None]
         pooled = pooled * live.astype(pooled.dtype)
 
         # --- geometry on raw points: 27 spherical + extra channels -> H ---
-        rois_bt = trajectory_rois.reshape(b * t, r, 7)
-        pts_bt = pooled.reshape(b * t, r, c.points_per_roi, -1)
-        geo = proposal_aware_feature(
-            pts_bt[..., :3].reshape(b * t * r, c.points_per_roi, 3),
-            rois_bt.reshape(b * t * r, 7))
-        geo = jnp.concatenate(
-            [geo, pts_bt.reshape(b * t * r, c.points_per_roi, -1)[..., 3:]],
-            -1)                                              # (BTR, K, 29)
+        btp = b * t_pts * r
+        rois_bt = trajectory_rois[:, :t_pts].reshape(btp, 7)
+        pts_bt = pooled.reshape(btp, c.points_per_roi, -1)
+        geo = proposal_aware_feature(pts_bt[..., :3], rois_bt)
+        geo = jnp.concatenate([geo, pts_bt[..., 3:]], -1)    # (BTpR, K, 29)
         nrad = len(c.pool_radii)
         geo = MLPStack(64, c.hidden // nrad, 3,
                        name="up_dim_geometry")(geo)
@@ -296,16 +300,18 @@ class MPPNetHead(nn.Module):
         # inline StackSAModuleMSG (roi_grid_pool:403-442): multi-radius ball
         # query + relative-xyz concat + shared MLP + max. BN runs over the
         # whole (BTR, P, S) extent natively, so no module-level vmap.
-        proxies = dense_proxy_points(rois_bt.reshape(b * t * r, 7),
-                                     c.proxy_grid)           # (BTR, P, 3)
-        pts_xyz = pts_bt.reshape(b * t * r, c.points_per_roi, -1)[..., :3]
+        proxies_all = dense_proxy_points(
+            trajectory_rois.reshape(b * t * r, 7), c.proxy_grid)  # (BTR,P,3)
+        proxies = proxies_all.reshape(b, t, r, p3, 3)[:, :t_pts].reshape(
+            btp, p3, 3)
+        pts_xyz = pts_bt[..., :3]
         pvalid = jnp.broadcast_to(
-            live.reshape(b * t * r, 1), (b * t * r, c.points_per_roi))
+            live.reshape(btp, 1), (btp, c.points_per_roi))
         pooled_scales = []
         for i, (rad, ns) in enumerate(zip(c.pool_radii, c.pool_nsamples)):
             idx, qempty = jax.vmap(
                 lambda x, q, v: ball_query(rad, ns, x, q, v))(
-                pts_xyz, proxies, pvalid)                    # (BTR, P, ns)
+                pts_xyz, proxies, pvalid)                    # (BTpR, P, ns)
             gx = jax.vmap(grouping_operation)(pts_xyz, idx) \
                 - proxies[:, :, None, :]
             gf = jax.vmap(grouping_operation)(geo, idx)
@@ -321,12 +327,26 @@ class MPPNetHead(nn.Module):
             h = jnp.max(nn.relu(h), axis=2)
             pooled_scales.append(
                 h * (~qempty)[..., None].astype(h.dtype))
-        proxy_feat = jnp.concatenate(pooled_scales, -1)      # (BTR, P, H)
+        proxy_feat = jnp.concatenate(pooled_scales, -1)      # (BTpR, P, H)
+        proxy_feat = proxy_feat.reshape(b, t_pts, r, p3, c.hidden)
+
+        if t_pts < t:
+            # online mode: past frames' GEOMETRY features come from the
+            # memory bank; unmatched frames repeat the current frame's
+            # (mppnet_memory_bank_e2e.py:447-462)
+            assert geo_memory is not None and geo_memory.shape[1] == t - 1
+            cur = proxy_feat[:, 0]                           # (B, R, P, H)
+            past = jnp.where(traj_valid[:, 1:, :, None, None],
+                             geo_memory, cur[:, None])
+            geo_all = jnp.concatenate([proxy_feat, past], axis=1)
+        else:
+            geo_all = proxy_feat                             # (B, T, R, P, H)
+        geo_bank = geo_all[:, 0]                             # for the bank
 
         # --- motion on proxy points: offsets to the CURRENT box + time ----
         cur_rois = jnp.broadcast_to(
             trajectory_rois[:, :1], (b, t, r, 7)).reshape(b * t * r, 7)
-        msph = proposal_aware_feature(proxies, cur_rois)
+        msph = proposal_aware_feature(proxies_all, cur_rois)
         tpad = jnp.zeros(msph.shape[:-1] + (2,))
         tch = jnp.broadcast_to(
             (0.1 * jnp.arange(t))[None, :, None, None, None],
@@ -334,7 +354,8 @@ class MPPNetHead(nn.Module):
         motion = MLPStack(64, c.hidden, 3, name="up_dim_motion")(
             jnp.concatenate([msph, tpad, tch], -1))          # (BTR, P, H)
 
-        src = (proxy_feat + motion).reshape(b, t, r, p3, c.hidden)
+        src = (geo_all.reshape(b * t * r, p3, c.hidden) + motion) \
+            .reshape(b, t, r, p3, c.hidden)
         src = src * traj_valid[..., None, None].astype(src.dtype)
         frame_summary = jnp.max(src, axis=3)                 # (B, T, R, H)
 
@@ -401,6 +422,9 @@ class MPPNetHead(nn.Module):
             "box_reg": (box_reg * valid[:, None]).reshape(b, r, 7),
             "rcnn_reg": (joint_reg * valid[:, None]).reshape(b, r, 7),
             "frame_tokens": jnp.swapaxes(frame_summary, 1, 2),  # (B,R,T,H)
+            # current-frame proxy GEOMETRY features, the E2E bank entry
+            # (reference batch_dict['geometory_feature_memory'])
+            "geo_memory_out": geo_bank,                      # (B, R, P, H)
         }
         return out
 
@@ -486,22 +510,40 @@ class MPPNetDetector(nn.Module):
 
 
 class MPPNetE2EDetector(MPPNetDetector):
-    """mppnet_e2e.py: online variant with a rolling per-frame token memory
-    threaded as functional state (bank in, bank out)."""
+    """mppnet_e2e.py: online variant with a rolling per-step feature bank
+    threaded as functional state (bank in, bank out).
+
+    The bank holds each past step's current-frame proxy GEOMETRY features
+    (reference feature_bank / geometory_feature_memory); at each step only
+    the CURRENT frame's points are cropped and pooled — past frames reuse
+    their banked features, aligned to the trajectory rows by the caller
+    (generate_trajectory's matching; identity when ROI slots track)."""
 
     @nn.compact
     def __call__(self, frame_points, point_valid, trajectory_rois, roi_valid,
                  memory: Optional[jnp.ndarray] = None, traj_valid=None,
                  train: bool = False):
-        out = MPPNetHead(self.mp_cfg, name="head")(
-            frame_points, point_valid, trajectory_rois, roi_valid,
-            traj_valid, train)
-        tok = out["frame_tokens"][:, :, 0]         # (B, R, H) current frame
+        t = trajectory_rois.shape[1]
         if memory is None:
-            memory = jnp.zeros(
-                (tok.shape[0], self.mp_cfg.num_frames) + tok.shape[1:],
-                tok.dtype)
-        new_memory = jnp.concatenate([tok[:, None], memory[:, :-1]], axis=1)
+            b, r = roi_valid.shape
+            memory = jnp.zeros((b, t - 1, r, self.mp_cfg.proxy_grid ** 3,
+                                self.mp_cfg.hidden), jnp.float32)
+            if traj_valid is None:
+                # cold start: no banked features -> only frame 0 is real
+                traj_valid = jnp.concatenate(
+                    [roi_valid[:, None, :],
+                     jnp.zeros((b, t - 1, r), bool)], axis=1)
+        if frame_points.shape[1] == t:
+            # offline parity path: all frames cropped, bank ignored
+            out = MPPNetHead(self.mp_cfg, name="head")(
+                frame_points, point_valid, trajectory_rois, roi_valid,
+                traj_valid, None, train)
+        else:
+            out = MPPNetHead(self.mp_cfg, name="head")(
+                frame_points[:, :1], point_valid[:, :1], trajectory_rois,
+                roi_valid, traj_valid, memory, train)
+        new_memory = jnp.concatenate(
+            [out["geo_memory_out"][:, None], memory[:, :-1]], axis=1)
         out["rois"] = trajectory_rois[:, 0]
         out["roi_valid"] = roi_valid
         out["memory"] = new_memory

@@ -89,7 +89,9 @@ def test_mppnet_train_and_predict():
     assert out["boxes"].shape[-1] == 7
 
 
-def test_mppnet_e2e_memory_rolls():
+def test_mppnet_e2e_memory_bank():
+    """The E2E bank holds per-step proxy GEOMETRY features; online steps
+    crop only the current frame and reuse banked features for the past."""
     cfg = tiny_voxel_cfg("SECOND")
     mp = MPPNetConfig(num_frames=3, points_per_roi=16, hidden=16,
                       num_heads=2, num_layers=1)
@@ -98,11 +100,21 @@ def test_mppnet_e2e_memory_rolls():
 
     variables = model.init(jax.random.PRNGKey(0), fp, pv, tr, rv)
     out1 = model.apply(variables, fp, pv, tr, rv)
-    assert out1["memory"].shape[1] == 3
-    out2 = model.apply(variables, fp, pv, tr, rv, memory=out1["memory"])
-    # newest slot holds the current tokens; the old newest moved to slot 1
+    b, r = rv.shape
+    assert out1["memory"].shape == (b, 2, r, mp.proxy_grid ** 3, mp.hidden)
+    # the newest slot is the current frame's geometry features
+    np.testing.assert_allclose(np.asarray(out1["memory"][:, 0]),
+                               np.asarray(out1["geo_memory_out"]),
+                               atol=1e-6)
+
+    # ONLINE step: only the current frame's points are supplied; past
+    # frames read the bank. Rolls: old slot 0 -> new slot 1.
+    out2 = model.apply(variables, fp[:, :1], pv[:, :1], tr, rv,
+                       memory=out1["memory"])
     np.testing.assert_allclose(np.asarray(out2["memory"][:, 1]),
                                np.asarray(out1["memory"][:, 0]), atol=1e-6)
+    assert np.isfinite(np.asarray(out2["rcnn_cls"])).all()
+    assert np.isfinite(np.asarray(out2["rcnn_reg"])).all()
 
 
 def test_mppnet_architecture_structure():
