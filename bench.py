@@ -157,7 +157,8 @@ def fwd_flops(batch_size: int = 1) -> float | None:
         return None
 
 
-def train_throughput(batch_size: int = 1, k: int = 8) -> float:
+def train_throughput(batch_size: int = 1, k: int = 8,
+                     cfg_patch=None) -> float:
     """Full-res train steps/sec: forward+backward+Adam (accum-8 MultiSteps)."""
     import jax
     import jax.numpy as jnp
@@ -168,6 +169,8 @@ def train_throughput(batch_size: int = 1, k: int = 8) -> float:
     from multimodal_gar_tpu.utils.testing import flagship_config, synthetic_batch
 
     cfg = flagship_config()
+    if cfg_patch is not None:
+        cfg = cfg_patch(cfg)
     batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
     model = MGAR(cfg)
     state, tx = create_train_state(cfg, model, batch, jax.random.PRNGKey(0),
@@ -249,6 +252,20 @@ def main():
         detail["eval_bf16_clips_per_sec_best_batch"] = _try(
             eval_throughput, best_b, "bfloat16")
         detail["train_steps_per_sec_b1_fullres"] = _try(train_throughput, 1)
+
+        def _remat(cfg):
+            import dataclasses
+            model = dataclasses.replace(
+                cfg.model, rgb=dataclasses.replace(cfg.model.rgb,
+                                                   i3d_remat=True))
+            return dataclasses.replace(cfg, model=model)
+
+        v = _try(train_throughput, 2)
+        if v is None:
+            v = _try(train_throughput, 2, cfg_patch=_remat)
+            if v is not None:
+                detail["train_b2_remat"] = True
+        detail["train_steps_per_sec_b2_fullres"] = v
         flops = _try(fwd_flops, 1)
         if flops:
             peak = _peak_flops()
