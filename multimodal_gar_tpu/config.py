@@ -152,6 +152,10 @@ class LiDARBackboneConfig:
     # (v5e, K=256). 0 disables the cull (dense (R, M) relation + row
     # gathers).
     pool_cull_k: int = 256
+    # approx_max_k for the grid pool's first-nsample neighbor selection
+    # (recall ~0.99) instead of the exact top_k over (N*G3, cull_k) —
+    # the same approximation voxel_query uses by default; False = exact.
+    pool_approx_nsample: bool = False
     # x-window sparse-conv gathers (sparse_backbone.window_gather): 9 wide
     # window gathers per query instead of 27 row gathers, using the packed
     # maps the host rulebook emits (data/rulebook.py). Requires the host

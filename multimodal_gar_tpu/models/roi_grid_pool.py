@@ -67,6 +67,7 @@ class NeighborVoxelPoolLayer(nn.Module):
     cull_k: int = 0                # >0: per-box culled query (queries must
     #                                arrive grouped as N boxes x G3 points)
     query_groups: int = 1          # G3 when cull_k > 0
+    approx_nsample: bool = False   # approx_max_k neighbor selection
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,7 +110,8 @@ class NeighborVoxelPoolLayer(nn.Module):
                     q_xyz.reshape(-1, g3, 3), q_zyx.reshape(-1, g3, 3),
                     q_valid.reshape(-1, g3),
                     self.query_range, self.radius, self.nsample,
-                    cull_k=self.cull_k, return_local=True)
+                    cull_k=self.cull_k, return_local=True,
+                    approx_nsample=self.approx_nsample)
                 # gather-as-GEMM: random row-gathers are slow on TPU, so
                 # gather each box's K candidates once, then pull the
                 # selected neighbors through a one-hot matmul on the MXU
@@ -204,6 +206,8 @@ class ROIGridPool(nn.Module):
                 pool_method=layer_cfg.pool_method,
                 exact_query=getattr(self.cfg, "voxel_query_exact", False),
                 cull_k=getattr(self.cfg, "pool_cull_k", 0),
+                approx_nsample=getattr(self.cfg, "pool_approx_nsample",
+                                       False),
                 query_groups=g3,
                 dtype=self.dtype,
                 name=f"pool_{layer_cfg.source}",

@@ -238,7 +238,8 @@ def voxel_query_boxed(voxel_centers: jnp.ndarray,
                       radius: float,
                       nsample: int,
                       cull_k: int,
-                      return_local: bool = False):
+                      return_local: bool = False,
+                      approx_nsample: bool = False):
     """Box-grouped voxel query with a per-box spatial cull.
 
     Same semantics as ``voxel_query`` (first ``nsample`` in-window,
@@ -307,7 +308,17 @@ def voxel_query_boxed(voxel_centers: jnp.ndarray,
         priority = jnp.pad(priority, ((0, 0), (0, 0), (0, nsample - k)),
                            constant_values=wsize)
 
-    neg_top, pos = jax.lax.top_k(-priority.reshape(n * g3, -1), nsample)
+    # nsample selection: exact top_k by default; approx_max_k mirrors
+    # voxel_query's non-exact default (recall ~0.99 — only matters when a
+    # query has > nsample in-radius neighbors, where the reference's own
+    # choice is arbitrary scan-order truncation)
+    if approx_nsample:
+        neg_top, pos = jax.lax.approx_max_k(
+            -priority.reshape(n * g3, -1).astype(jnp.float32), nsample,
+            recall_target=0.99)
+        neg_top = neg_top.astype(jnp.int32)
+    else:
+        neg_top, pos = jax.lax.top_k(-priority.reshape(n * g3, -1), nsample)
     chosen_valid = (-neg_top) < wsize                             # (R, S)
     pos = jnp.minimum(pos, k - 1)                                 # clip pads
     first_pos = pos[:, :1]

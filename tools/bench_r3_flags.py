@@ -25,11 +25,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import bench
 
 
-def patch(x_window: bool, t2d: bool):
+def patch(x_window: bool, t2d: bool, pool_approx: bool = False):
     def p(cfg):
         model = dataclasses.replace(
             cfg.model,
-            lidar=dataclasses.replace(cfg.model.lidar, x_window=x_window),
+            lidar=dataclasses.replace(cfg.model.lidar, x_window=x_window,
+                                      pool_approx_nsample=pool_approx),
             rgb=dataclasses.replace(cfg.model.rgb, i3d_t2d=t2d))
         return dataclasses.replace(cfg, model=model)
     return p
@@ -40,6 +41,7 @@ VARIANTS = {
     "xwin": patch(True, False),
     "t2d": patch(False, True),
     "xwin+t2d": patch(True, True),
+    "xwin+poolapprox": patch(True, False, pool_approx=True),
 }
 
 
