@@ -27,7 +27,9 @@ import json
 import time
 from functools import partial
 
-CPU_BASELINE_CLIPS_PER_SEC = 0.0073
+# re-measured 2026-08-18 on the round-3 program (x-window gathers + folded
+# BN sped the CPU run up too; the round-2 pin was 0.0073)
+CPU_BASELINE_CLIPS_PER_SEC = 0.0220
 
 # Peak bf16 MXU throughput per chip, FLOP/s (public spec sheets).
 _PEAK_BF16 = {
