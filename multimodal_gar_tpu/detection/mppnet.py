@@ -356,7 +356,11 @@ class MPPNetHead(nn.Module):
 
         src = (geo_all.reshape(b * t * r, p3, c.hidden) + motion) \
             .reshape(b, t, r, p3, c.hidden)
-        src = src * traj_valid[..., None, None].astype(src.dtype)
+        # per-ROI masking only (reference USE_TRAJ_EMPTY_MASK zeroes src for
+        # empty ROIs; invalid FRAMES keep their features — the reference
+        # computes geometry from the zero-filled crops there, and the E2E
+        # repeat-current fallback must stay live)
+        src = src * roi_valid[:, None, :, None, None].astype(src.dtype)
         frame_summary = jnp.max(src, axis=3)                 # (B, T, R, H)
 
         # --- grouping: sequence-stride interleave (frames i, i+G, ...) ----
@@ -441,7 +445,7 @@ class MPPNetDetector(nn.Module):
                  ) -> Dict[str, jnp.ndarray]:
         out = MPPNetHead(self.mp_cfg, name="head")(
             frame_points, point_valid, trajectory_rois, roi_valid,
-            traj_valid, train)
+            traj_valid=traj_valid, train=train)
         out["rois"] = trajectory_rois[:, 0]
         out["roi_valid"] = roi_valid
         return out
@@ -522,31 +526,41 @@ class MPPNetE2EDetector(MPPNetDetector):
     @nn.compact
     def __call__(self, frame_points, point_valid, trajectory_rois, roi_valid,
                  memory: Optional[jnp.ndarray] = None, traj_valid=None,
+                 memory_valid: Optional[jnp.ndarray] = None,
                  train: bool = False):
         t = trajectory_rois.shape[1]
+        b, r = roi_valid.shape
+        online = frame_points.shape[1] < t
         if memory is None:
-            b, r = roi_valid.shape
             memory = jnp.zeros((b, t - 1, r, self.mp_cfg.proxy_grid ** 3,
                                 self.mp_cfg.hidden), jnp.float32)
-            if traj_valid is None:
-                # cold start: no banked features -> only frame 0 is real
-                traj_valid = jnp.concatenate(
-                    [roi_valid[:, None, :],
-                     jnp.zeros((b, t - 1, r), bool)], axis=1)
-        if frame_points.shape[1] == t:
+            if memory_valid is None:
+                memory_valid = jnp.zeros((b, t - 1, r), bool)
+        elif memory_valid is None:
+            # bank supplied without validity: assume every slot written
+            memory_valid = jnp.broadcast_to(roi_valid[:, None, :],
+                                            (b, t - 1, r))
+        if online and traj_valid is None:
+            # never consume never-written bank slots as real frames; the
+            # head repeats the current frame's features there instead
+            traj_valid = jnp.concatenate(
+                [roi_valid[:, None, :], memory_valid], axis=1)
+        if not online:
             # offline parity path: all frames cropped, bank ignored
             out = MPPNetHead(self.mp_cfg, name="head")(
                 frame_points, point_valid, trajectory_rois, roi_valid,
-                traj_valid, None, train)
+                traj_valid=traj_valid, train=train)
         else:
             out = MPPNetHead(self.mp_cfg, name="head")(
                 frame_points[:, :1], point_valid[:, :1], trajectory_rois,
-                roi_valid, traj_valid, memory, train)
-        new_memory = jnp.concatenate(
-            [out["geo_memory_out"][:, None], memory[:, :-1]], axis=1)
+                roi_valid, traj_valid=traj_valid, geo_memory=memory,
+                train=train)
         out["rois"] = trajectory_rois[:, 0]
         out["roi_valid"] = roi_valid
-        out["memory"] = new_memory
+        out["memory"] = jnp.concatenate(
+            [out["geo_memory_out"][:, None], memory[:, :-1]], axis=1)
+        out["memory_valid"] = jnp.concatenate(
+            [roi_valid[:, None, :], memory_valid[:, :-1]], axis=1)
         return out
 
 

@@ -41,7 +41,8 @@ class SparseTensor:
     spatial_shape: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
 
 
-WINDOW_POS_MASK = (1 << 20) - 1
+from ..ops.voxel import (WINDOW_POS_BITS, WINDOW_POS_MASK,
+                         shifted_window_table)
 
 
 def window_gather(features: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
@@ -65,13 +66,9 @@ def window_gather(features: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """
     m, c = features.shape
     r = win.shape[0]
-    zero = jnp.zeros((1, c), features.dtype)
-    wt = jnp.concatenate([
-        jnp.concatenate([zero, features[:-1]], 0),       # row j-1
-        features,                                        # row j
-        jnp.concatenate([features[1:], zero], 0)], -1)   # row j+1 -> (M, 3C)
+    wt = shifted_window_table(features)                  # (M, 3C)
     pos = win & WINDOW_POS_MASK
-    sel = win >> WINDOW_POS_MASK.bit_length()      # packed values < 2^26 > 0
+    sel = win >> WINDOW_POS_BITS                   # packed values < 2^26 > 0
     g = wt[pos].reshape(r, 9, 3, c)                      # the 9R-row gather
     dx_shift = 2 * jnp.arange(3, dtype=win.dtype)
     slots = (sel[..., None] >> dx_shift) & 3             # (R, 9, 3dx)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINDOW_POS_MASK = (1 << 20) - 1
+from ..voxel import WINDOW_POS_MASK, shifted_window_table
 
 
 def _kernel(wt_ref, win_ref, w_ref, o_ref, *, c: int, d: int):
@@ -71,11 +71,7 @@ def window_conv_pallas(features: jnp.ndarray, win: jnp.ndarray,
     rb = min(block_rows, r)
     assert r % rb == 0, (r, rb)
 
-    zero = jnp.zeros((1, c), features.dtype)
-    wt = jnp.concatenate([
-        jnp.concatenate([zero, features[:-1]], 0),
-        features,
-        jnp.concatenate([features[1:], zero], 0)], -1)   # (M, 3C)
+    wt = shifted_window_table(features)                  # (M, 3C)
     w2 = weights.reshape(27 * c, d)
 
     return pl.pallas_call(

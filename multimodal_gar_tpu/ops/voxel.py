@@ -26,6 +26,25 @@ import jax.numpy as jnp
 
 INVALID_KEY = jnp.iinfo(jnp.int32).max
 
+# packed x-window map layout (data/rulebook.py add_x_window_maps): low bits
+# carry the sorted-row window position, high bits the per-dx slot selectors
+WINDOW_POS_BITS = 20
+WINDOW_POS_MASK = (1 << WINDOW_POS_BITS) - 1
+
+
+def shifted_window_table(features: jnp.ndarray) -> jnp.ndarray:
+    """(M, C) key-sorted rows -> (M, 3C) [row j-1 | row j | row j+1] table.
+
+    Row r of the result holds the 3 consecutive sorted rows the packed
+    x-window maps address; edge rows pad with zeros (absent taps are
+    resolved by the host-packed slot selectors, never by these pads)."""
+    c = features.shape[-1]
+    zero = jnp.zeros((1, c), features.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([zero, features[:-1]], 0),
+        features,
+        jnp.concatenate([features[1:], zero], 0)], -1)
+
 
 class VoxelLookup(NamedTuple):
     """Sorted-key lookup table over one item's active voxels."""
@@ -309,9 +328,10 @@ def voxel_query_boxed(voxel_centers: jnp.ndarray,
                            constant_values=wsize)
 
     # nsample selection: exact top_k by default; approx_max_k mirrors
-    # voxel_query's non-exact default (recall ~0.99 — only matters when a
-    # query has > nsample in-radius neighbors, where the reference's own
-    # choice is arbitrary scan-order truncation)
+    # voxel_query's non-exact choice (recall ~0.99). NOTE: bin collisions
+    # can drop an in-radius hit even when a query has < nsample neighbors
+    # (only per-bin maxima survive the partial reduction) — the pooled set
+    # can shrink slightly versus the exact reference, not just re-truncate.
     if approx_nsample:
         neg_top, pos = jax.lax.approx_max_k(
             -priority.reshape(n * g3, -1).astype(jnp.float32), nsample,

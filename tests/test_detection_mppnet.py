@@ -108,11 +108,16 @@ def test_mppnet_e2e_memory_bank():
                                atol=1e-6)
 
     # ONLINE step: only the current frame's points are supplied; past
-    # frames read the bank. Rolls: old slot 0 -> new slot 1.
+    # frames read the bank. Rolls: old slot 0 -> new slot 1; validity
+    # rides along so never-written cold slots trigger the repeat-current
+    # fallback instead of being consumed as real zeros.
     out2 = model.apply(variables, fp[:, :1], pv[:, :1], tr, rv,
-                       memory=out1["memory"])
+                       memory=out1["memory"],
+                       memory_valid=out1["memory_valid"])
     np.testing.assert_allclose(np.asarray(out2["memory"][:, 1]),
                                np.asarray(out1["memory"][:, 0]), atol=1e-6)
+    assert np.asarray(out1["memory_valid"][:, 0]).all()       # step-1 slot
+    assert not np.asarray(out1["memory_valid"][:, 1]).any()   # cold slot
     assert np.isfinite(np.asarray(out2["rcnn_cls"])).all()
     assert np.isfinite(np.asarray(out2["rcnn_reg"])).all()
 

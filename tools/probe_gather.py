@@ -9,7 +9,15 @@ section), so probe it empirically:
   A. jnp.take(table, idx, axis=0) inside a kernel (table whole-array in
      VMEM, idx (R,) int32);
   B. take per tap + accumulate GEMM (the fused subm-conv inner loop);
-  C. XLA reference timing of the same gather (outside Pallas).
+  C. XLA reference timing of the same gather (outside Pallas);
+  D. XLA gather cost model: rows vs bytes (does time scale with the row
+     count or the row width?);
+  W. the production-candidate fused x-window layer
+     (ops/pallas/window_conv.py) vs the XLA window_gather path + parity.
+
+Timing: K iterations chained inside ONE jit (every iteration's input
+data-dependent on the previous output) minus the k=1 time — the remote
+tunnel makes dispatch-loop timing invalid (CLAUDE.md / bench.py).
 
 Usage: python tools/probe_gather.py
 """
@@ -32,29 +40,42 @@ from jax.experimental.pallas import tpu as pltpu
 M, C, D, RB, K3 = 16384, 32, 32, 1024, 27
 
 
-def timed(fn, *args, iters=20):
-    r = fn(*args)
-    jax.block_until_ready(r)
-    # chained timing is overkill for standalone kernels; do many dispatches
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+def timed_chain(fn, k=12, iters=2, *args):
+    """fn(tab, *args) -> scalar; tab is perturbed by 0*scalar per step."""
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def chained(tab, args, kk):
+        def body(i, carry):
+            t, acc = carry
+            s = fn(t, *args)
+            return (t + (0.0 * s).astype(t.dtype), acc + s)
+
+        _, acc = jax.lax.fori_loop(0, kk, body, (tab, jnp.float32(0)))
+        return acc
+
+    def run(tab, kk):
+        float(chained(tab, args, kk))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(chained(tab, args, kk))
+        return (time.perf_counter() - t0) / iters
+
+    def measure(tab):
+        t1, tk = run(tab, 1), run(tab, k)
+        return (tk - t1) / (k - 1)
+
+    return measure
 
 
 def probe_a():
     """Plain row gather from a VMEM table inside a kernel."""
 
     def kern(tab_ref, idx_ref, o_ref):
-        tab = tab_ref[...]
-        idx = idx_ref[...]                       # (RB, K3)
-        g = jnp.take(tab, idx.reshape(-1), axis=0)
+        g = jnp.take(tab_ref[...], idx_ref[...].reshape(-1), axis=0)
         o_ref[...] = g.reshape(RB, K3 * C)
 
-    @jax.jit
-    def run(tab, idx):
-        return pl.pallas_call(
+    def call(tab, idx):
+        out = pl.pallas_call(
             kern,
             grid=(M // RB,),
             in_specs=[
@@ -67,31 +88,29 @@ def probe_a():
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, K3 * C), jnp.float32),
         )(tab, idx)
+        return jnp.sum(out.ravel()[::4097])
 
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, M, (M, K3)).astype(np.int32))
-    t = timed(run, tab, idx)
+    t = timed_chain(call, 12, 2, idx)(tab)
     print(f"A: in-kernel take gather (M={M}, K3={K3}, C={C}): {t*1e3:.3f} ms",
           flush=True)
 
 
 def probe_b():
-    """Fused gather + tap GEMM accumulate (the subm-conv inner loop)."""
+    """Fused gather + tap GEMM accumulate (the fused subm-conv shape)."""
 
     def kern(tab_ref, idx_ref, w_ref, o_ref):
         tab = tab_ref[...]
         acc = jnp.zeros((RB, D), jnp.float32)
         for k in range(K3):
-            rows = idx_ref[:, k]
-            g = jnp.take(tab, rows, axis=0)      # (RB, C)
-            acc += jnp.dot(g, w_ref[k],
-                           preferred_element_type=jnp.float32)
+            g = jnp.take(tab, idx_ref[:, k], axis=0)
+            acc += jnp.dot(g, w_ref[k], preferred_element_type=jnp.float32)
         o_ref[...] = acc
 
-    @jax.jit
-    def run(tab, idx, w):
-        return pl.pallas_call(
+    def call(tab, idx, w):
+        out = pl.pallas_call(
             kern,
             grid=(M // RB,),
             in_specs=[
@@ -106,53 +125,44 @@ def probe_b():
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
         )(tab, idx, w)
+        return jnp.sum(out[:, 0])
 
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, M, (M, K3)).astype(np.int32))
     w = jnp.asarray(rng.normal(size=(K3, C, D)).astype(np.float32) * 0.1)
-    t = timed(run, tab, idx, w)
+    t = timed_chain(call, 12, 2, idx, w)(tab)
     print(f"B: fused gather+GEMM (M={M}, K3={K3}, C={C}, D={D}): "
           f"{t*1e3:.3f} ms", flush=True)
 
 
 def probe_c():
-    """XLA reference: same gather, then the einsum."""
+    """XLA reference: same gather + einsum."""
 
-    @jax.jit
-    def run(tab, idx, w):
-        g = tab[idx]                             # (M, K3, C)
-        return jnp.einsum("mkc,kcd->md", g, w)
+    def call(tab, idx, w):
+        g = tab[idx]
+        return jnp.sum(jnp.einsum("mkc,kcd->md", g, w)[:, 0])
 
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, M, (M, K3)).astype(np.int32))
     w = jnp.asarray(rng.normal(size=(K3, C, D)).astype(np.float32) * 0.1)
-    t = timed(run, tab, idx, w)
+    t = timed_chain(call, 12, 2, idx, w)(tab)
     print(f"C: XLA gather+einsum: {t*1e3:.3f} ms", flush=True)
-    # parity check vs B's math
-    g = tab[idx]
-    ref = jnp.einsum("mkc,kcd->md", g, w)
-    return ref
 
 
 def probe_d():
-    """XLA gather cost model: rows vs bytes.
-
-    If time is per-row-bound (narrow ~= wide), the x-window reformulation
-    (9 gathers of 3C-wide rows instead of 27 of C-wide) wins ~3x.
-    """
+    """XLA gather cost model: rows vs bytes."""
     rng = np.random.default_rng(0)
     for rows, width in [(27, 16), (9, 48), (27, 64), (9, 192), (27, 4),
                         (9, 128)]:
         tab = jnp.asarray(rng.normal(size=(M, width)).astype(np.float32))
         idx = jnp.asarray(rng.integers(0, M, (M, rows)).astype(np.int32))
 
-        @jax.jit
-        def run(tab, idx):
-            return tab[idx].sum(axis=1)          # (M, width)
+        def call(tab, idx):
+            return jnp.sum(tab[idx].sum(axis=1)[:, 0])
 
-        t = timed(run, tab, idx)
+        t = timed_chain(call, 12, 2, idx)(tab)
         print(f"D: XLA gather rows/query={rows} width={width} "
               f"(bytes={M*rows*width*4>>20} MB): {t*1e3:.3f} ms", flush=True)
 
@@ -165,7 +175,6 @@ def probe_w():
     rng = np.random.default_rng(0)
     m, c, d = 16000, 32, 32
     feats = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
-    # synthetic packed maps: valid positions + random slot selectors
     pos = rng.integers(0, m, (m, 9)).astype(np.int32)
     sel = rng.integers(0, 3, (m, 9, 3))
     packed = pos | ((sel[..., 0] | (sel[..., 1] << 2)
@@ -173,17 +182,22 @@ def probe_w():
     win = jnp.asarray(packed.astype(np.int32))
     w = jnp.asarray(rng.normal(size=(27, c, d)).astype(np.float32) * 0.1)
 
-    @jax.jit
-    def xla_path(feats, win, w):
-        return jnp.einsum("rkc,kcd->rd", window_gather(feats, win), w)
+    def xla_call(feats, win, w):
+        out = jnp.einsum("rkc,kcd->rd", window_gather(feats, win), w)
+        return jnp.sum(out[:, 0])
 
-    t = timed(xla_path, feats, win, w)
+    t = timed_chain(xla_call, 12, 2, win, w)(feats)
     print(f"W: XLA window_gather+einsum (M={m}, C={c}, D={d}): "
           f"{t*1e3:.3f} ms", flush=True)
-    t = timed(lambda f, wn, ww: window_conv_pallas(f, wn, ww), feats, win, w)
+
+    def pallas_call_fn(feats, win, w):
+        out = window_conv_pallas(feats, win, w)
+        return jnp.sum(out[:, 0])
+
+    t = timed_chain(pallas_call_fn, 12, 2, win, w)(feats)
     print(f"W: Pallas fused window conv: {t*1e3:.3f} ms", flush=True)
-    # parity on hardware
-    a = np.asarray(xla_path(feats, win, w))
+
+    a = np.asarray(jnp.einsum("rkc,kcd->rd", window_gather(feats, win), w))
     b = np.asarray(window_conv_pallas(feats, win, w))
     err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     print(f"W: rel max err vs XLA: {err:.2e}", flush=True)
