@@ -125,3 +125,37 @@ def test_registry_builds_models():
     assert type(build_model(cfg, "TranSG")).__name__ == "TranSG"
     with pytest.raises(KeyError):
         build_model(cfg, "nope")
+
+
+def test_round3_perf_flag_variants_run():
+    """Every round-3 perf-flag combination the hardware sweep
+    (tools/bench_r3_flags.py) will exercise compiles and runs end-to-end
+    on the tiny config: i3d_t2d, pool_approx_nsample, x_window off."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_gar_tpu.models import MGAR
+    from multimodal_gar_tpu.utils.testing import synthetic_batch, tiny_config
+
+    base = tiny_config()
+    batch = synthetic_batch(base, batch_size=1)
+
+    def patch(x_window, t2d, pool_approx):
+        model = dataclasses.replace(
+            base.model,
+            lidar=dataclasses.replace(base.model.lidar, x_window=x_window,
+                                      pool_approx_nsample=pool_approx),
+            rgb=dataclasses.replace(base.model.rgb, i3d_t2d=t2d))
+        return dataclasses.replace(base, model=model)
+
+    for cfg in [patch(False, False, False), patch(True, True, False),
+                patch(True, False, True)]:
+        model = MGAR(cfg)
+        variables = jax.jit(partial(model.init, train=False))(
+            jax.random.PRNGKey(0), batch)
+        out = jax.jit(partial(model.apply, train=False))(variables, batch)
+        assert np.isfinite(np.asarray(out.card)).all()
