@@ -175,3 +175,73 @@ class DeepLabV3DDN(nn.Module):
         logits = jax.image.resize(
             logits, (b, hf, wf, logits.shape[-1]), method="linear")
         return feats, logits
+
+
+def _t2f_conv(w):
+    import numpy as np
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))     # OIHW -> HWIO
+
+
+def load_torchvision_deeplab(variables, state_dict):
+    """Overlay a torchvision deeplabv3_resnet{50,101} state dict onto a
+    DeepLabV3DDN variable tree (the reference loads exactly these weights,
+    ddn_template.py:60-83). Keys covered: backbone conv/bn/downsample,
+    ASPP branches + projection, classifier head. Returns new variables;
+    raises KeyError on any missing torch twin.
+    """
+    import numpy as np
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(variables["batch_stats"])
+
+    def put_bn(fparent, sparent, fname, tprefix):
+        fparent[fname]["scale"] = np.asarray(state_dict[f"{tprefix}.weight"])
+        fparent[fname]["bias"] = np.asarray(state_dict[f"{tprefix}.bias"])
+        sparent[fname]["mean"] = np.asarray(
+            state_dict[f"{tprefix}.running_mean"])
+        sparent[fname]["var"] = np.asarray(
+            state_dict[f"{tprefix}.running_var"])
+
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    bb_p["conv1"]["kernel"] = _t2f_conv(state_dict["backbone.conv1.weight"])
+    put_bn(bb_p, bb_s, "bn1", "backbone.bn1")
+    for name in list(bb_p):
+        if not name.startswith("layer"):
+            continue
+        li, bi = name[5:].split("_")
+        t = f"backbone.layer{li}.{bi}"
+        blk_p, blk_s = bb_p[name], bb_s[name]
+        for n in (1, 2, 3):
+            blk_p[f"conv{n}"]["kernel"] = _t2f_conv(
+                state_dict[f"{t}.conv{n}.weight"])
+            put_bn(blk_p, blk_s, f"bn{n}", f"{t}.bn{n}")
+        if "down_conv" in blk_p:
+            blk_p["down_conv"]["kernel"] = _t2f_conv(
+                state_dict[f"{t}.downsample.0.weight"])
+            put_bn(blk_p, blk_s, "down_bn", f"{t}.downsample.1")
+
+    ap, as_ = params["aspp"], stats["aspp"]
+    ap["b0_conv"]["kernel"] = _t2f_conv(
+        state_dict["classifier.0.convs.0.0.weight"])
+    put_bn(ap, as_, "b0_bn", "classifier.0.convs.0.1")
+    for i in (1, 2, 3):
+        ap[f"b{i}_conv"]["kernel"] = _t2f_conv(
+            state_dict[f"classifier.0.convs.{i}.0.weight"])
+        put_bn(ap, as_, f"b{i}_bn", f"classifier.0.convs.{i}.1")
+    ap["pool_conv"]["kernel"] = _t2f_conv(
+        state_dict["classifier.0.convs.4.1.weight"])
+    put_bn(ap, as_, "pool_bn", "classifier.0.convs.4.2")
+    ap["proj_conv"]["kernel"] = _t2f_conv(
+        state_dict["classifier.0.project.0.weight"])
+    put_bn(ap, as_, "proj_bn", "classifier.0.project.1")
+
+    params["cls_conv"]["kernel"] = _t2f_conv(
+        state_dict["classifier.1.weight"])
+    put_bn(params, stats, "cls_bn", "classifier.2")
+    params["cls_out"]["kernel"] = _t2f_conv(state_dict["classifier.4.weight"])
+    params["cls_out"]["bias"] = np.asarray(state_dict["classifier.4.bias"])
+
+    return {"params": flax.core.freeze(params) if isinstance(
+        variables["params"], flax.core.FrozenDict) else params,
+        "batch_stats": stats}

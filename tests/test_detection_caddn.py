@@ -132,3 +132,140 @@ def test_deeplabv3_ddn_contract():
     # output stride 8: layer3/4 first blocks keep stride 1 (dilated)
     aspp = variables["params"]["aspp"]
     assert aspp["b1_conv"]["kernel"].shape == (3, 3, 2048, 256)
+
+
+def test_deeplabv3_ddn_matches_torchvision():
+    """Golden parity: our DeepLabV3DDN == an independently wired torch
+    replica of torchvision's deeplabv3_resnet50 (the exact model the
+    reference constructs, ddn_deeplabv3.py) on a fabricated torchvision-
+    style state dict — validates BOTH the architecture and the
+    load_torchvision_deeplab converter mapping."""
+    import torch
+    import torch.nn.functional as F
+    from multimodal_gar_tpu.detection.ddn_deeplab import (
+        DeepLabV3DDN, load_torchvision_deeplab)
+
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def add_conv(prefix, cout, cin, k):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            (rng.normal(size=(cout, cin, k, k)) * 0.05).astype(np.float32))
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+        sd[f"{prefix}.bias"] = torch.tensor(
+            rng.normal(0, 0.1, c).astype(np.float32))
+        sd[f"{prefix}.running_mean"] = torch.tensor(
+            rng.normal(0, 0.1, c).astype(np.float32))
+        sd[f"{prefix}.running_var"] = torch.tensor(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+
+    add_conv("backbone.conv1", 64, 3, 7)
+    add_bn("backbone.bn1", 64)
+    layers = {1: (3, 64, 64), 2: (4, 128, 256), 3: (6, 256, 512),
+              4: (3, 512, 1024)}
+    for li, (blocks, planes, cin0) in layers.items():
+        cin = cin0
+        for bi in range(blocks):
+            p = f"backbone.layer{li}.{bi}"
+            add_conv(f"{p}.conv1", planes, cin, 1)
+            add_bn(f"{p}.bn1", planes)
+            add_conv(f"{p}.conv2", planes, planes, 3)
+            add_bn(f"{p}.bn2", planes)
+            add_conv(f"{p}.conv3", planes * 4, planes, 1)
+            add_bn(f"{p}.bn3", planes * 4)
+            if bi == 0:
+                add_conv(f"{p}.downsample.0", planes * 4, cin, 1)
+                add_bn(f"{p}.downsample.1", planes * 4)
+            cin = planes * 4
+    add_conv("classifier.0.convs.0.0", 256, 2048, 1)
+    add_bn("classifier.0.convs.0.1", 256)
+    for i in (1, 2, 3):
+        add_conv(f"classifier.0.convs.{i}.0", 256, 2048, 3)
+        add_bn(f"classifier.0.convs.{i}.1", 256)
+    add_conv("classifier.0.convs.4.1", 256, 2048, 1)
+    add_bn("classifier.0.convs.4.2", 256)
+    add_conv("classifier.0.project.0", 256, 1280, 1)
+    add_bn("classifier.0.project.1", 256)
+    add_conv("classifier.1", 256, 256, 3)
+    add_bn("classifier.2", 256)
+    add_conv("classifier.4", 9, 256, 1)
+    sd["classifier.4.bias"] = torch.tensor(
+        rng.normal(0, 0.1, 9).astype(np.float32))
+
+    def bn(x, p):
+        sh = (1, -1, 1, 1)
+        return (x - sd[f"{p}.running_mean"].view(sh)) \
+            / torch.sqrt(sd[f"{p}.running_var"].view(sh) + 1e-5) \
+            * sd[f"{p}.weight"].view(sh) + sd[f"{p}.bias"].view(sh)
+
+    def bottleneck(x, p, stride, dil, down):
+        y = torch.relu(bn(F.conv2d(x, sd[f"{p}.conv1.weight"]), f"{p}.bn1"))
+        y = torch.relu(bn(F.conv2d(y, sd[f"{p}.conv2.weight"], stride=stride,
+                                   padding=dil, dilation=dil), f"{p}.bn2"))
+        y = bn(F.conv2d(y, sd[f"{p}.conv3.weight"]), f"{p}.bn3")
+        if down:
+            x = bn(F.conv2d(x, sd[f"{p}.downsample.0.weight"],
+                            stride=stride), f"{p}.downsample.1")
+        return torch.relu(x + y)
+
+    def torch_forward(xn):
+        t = torch.tensor(np.transpose(xn, (0, 3, 1, 2)))
+        t = torch.relu(bn(F.conv2d(t, sd["backbone.conv1.weight"], stride=2,
+                                   padding=3), "backbone.bn1"))
+        t = F.max_pool2d(t, 3, 2, padding=1)
+        # torchvision replace_stride_with_dilation=[False, True, True]
+        stage = {1: (1, 1, 1), 2: (2, 1, 1), 3: (1, 1, 2), 4: (1, 2, 4)}
+        feats = None
+        for li, (blocks, _, _) in layers.items():
+            stride, d_first, d_rest = stage[li]
+            for bi in range(blocks):
+                t = bottleneck(t, f"backbone.layer{li}.{bi}",
+                               stride if bi == 0 else 1,
+                               d_first if bi == 0 else d_rest, bi == 0)
+            if li == 1:
+                feats = t
+        # ASPP
+        br = [torch.relu(bn(F.conv2d(t, sd["classifier.0.convs.0.0.weight"]),
+                            "classifier.0.convs.0.1"))]
+        for i, r in zip((1, 2, 3), (12, 24, 36)):
+            br.append(torch.relu(bn(
+                F.conv2d(t, sd[f"classifier.0.convs.{i}.0.weight"],
+                         padding=r, dilation=r),
+                f"classifier.0.convs.{i}.1")))
+        g = t.mean((2, 3), keepdim=True)
+        g = torch.relu(bn(F.conv2d(g, sd["classifier.0.convs.4.1.weight"]),
+                          "classifier.0.convs.4.2"))
+        br.append(g.expand_as(br[0]))
+        y = torch.cat(br, 1)
+        y = torch.relu(bn(F.conv2d(y, sd["classifier.0.project.0.weight"]),
+                          "classifier.0.project.1"))
+        y = torch.relu(bn(F.conv2d(y, sd["classifier.1.weight"], padding=1),
+                          "classifier.2"))
+        y = F.conv2d(y, sd["classifier.4.weight"],
+                     bias=sd["classifier.4.bias"])
+        y = F.interpolate(y, size=feats.shape[-2:], mode="bilinear",
+                          align_corners=False)
+        return feats, y
+
+    model = DeepLabV3DDN(num_classes=9, backbone_name="ResNet50")
+    x = rng.uniform(0.05, 0.95, (1, 40, 56, 3)).astype(np.float32)
+    variables = jax.jit(lambda xx: model.init(
+        jax.random.PRNGKey(0), xx, train=False))(jnp.asarray(x))
+    variables = load_torchvision_deeplab(variables, sd)
+    feats, logits = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False))(variables, jnp.asarray(x))
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():
+        ref_feats, ref_logits = torch_forward((x - mean) / std)
+    ref_feats = np.transpose(ref_feats.numpy(), (0, 2, 3, 1))
+    ref_logits = np.transpose(ref_logits.numpy(), (0, 2, 3, 1))
+
+    np.testing.assert_allclose(np.asarray(feats), ref_feats,
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=5e-3, rtol=5e-3)
