@@ -2,8 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
   - metric/value: best eval clips/sec/chip across the batch sweep (1/2/4/8)
-    at the reference's FULL working point (720x1280x15 frames, 16k voxels,
-    100 actor slots — mil3.yaml).
+    at the reference's FULL eval working point (720x1280x15 frames, 100 actor
+    slots, **40k voxels** — the mil3.yaml TEST cap, reference
+    Multimodal_cfg/mil3.yaml:56-60). A 16k-cap continuity number (where
+    rounds 1-3 measured) is included in detail.
   - detail: per-batch eval clips/s, full-res train steps/s (batch 1,
     grad+Adam+accum), bf16-backbone rerun at the best batch, analytic fwd
     FLOPs from XLA cost analysis, and the resulting MFU.
@@ -16,20 +18,33 @@ previous output, forcing serial execution) with a single scalar transfer at
 the end; per-pass time = (t_K - t_1) / (K - 1). The train chain is serialized
 for free: step k's loss depends on step k-1's params.
 
+Robustness (the round-3 lesson): the TPU tunnel can be down or die mid-run,
+and a dead relay makes any device call busy-poll forever in C (signals never
+deliver). So the parent process NEVER initializes the jax backend: it
+pre-checks relay liveness (socket to 127.0.0.1:8082, per CLAUDE.md), runs
+every measurement in a `python bench.py --measure <spec>` subprocess with a
+hard timeout, re-checks liveness after each failure, and ALWAYS prints the
+JSON line within the wall-clock budget (env BENCH_BUDGET_S, default 2700 s)
+— including a structured error detail when the backend is unreachable.
+
 Baseline: the reference publishes no timing numbers (BASELINE.md); the driver
 target is >=5x clips/sec over a CPU baseline. vs_baseline is the speedup over
 the pinned single-core CPU measurement of this same chained eval program at
-batch 1 (re-measure with `python bench.py --cpu-baseline`; ~1 h on 1 core).
+batch 1 and the same voxel cap (re-measure with `python bench.py
+--cpu-baseline [--max-voxels N]`).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
-# re-measured 2026-08-18 on the round-3 program (x-window gathers + folded
-# BN sped the CPU run up too; the round-2 pin was 0.0073)
-CPU_BASELINE_CLIPS_PER_SEC = 0.0220
+# Pinned single-core CPU baselines for the chained batch-1 eval program,
+# keyed by voxel cap. 16k re-measured 2026-08-18 on the round-3 program
+# (x-window gathers + folded BN sped the CPU run up too; the round-2 pin was
+# 0.0073). 40k pinned this round at the true mil3.yaml test cap.
+CPU_BASELINE_CLIPS_PER_SEC = {16000: 0.0220, 40000: 0.0182}
 
 # Peak bf16 MXU throughput per chip, FLOP/s (public spec sheets).
 _PEAK_BF16 = {
@@ -42,14 +57,31 @@ _PEAK_BF16 = {
     "TPU v6e": 918e12,
 }
 
+_PRIMARY_CAP = 40000
+_CONTINUITY_CAP = 16000
 
-def _peak_flops() -> float:
-    import jax
-    kind = jax.devices()[0].device_kind
+
+def _peak_flops(kind: str) -> float:
     for name, peak in _PEAK_BF16.items():
         if kind.lower().startswith(name.lower()):
             return peak
     return 197e12  # default: v5e
+
+
+def _tunnel_alive() -> bool:
+    """True if the axon relay is listening (CLAUDE.md: port 8082).
+
+    Only meaningful when the axon platform is selected; on cpu/other
+    platforms there is no tunnel to check.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return True
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+            return True
+    except OSError:
+        return False
 
 
 def _serialize(b, s):
@@ -68,16 +100,17 @@ def _serialize(b, s):
 
 
 def build_eval(batch_size: int = 1, dtype: str = "float32",
-               chunk: int | None = None, cfg_patch=None):
+               chunk: int | None = None, cfg_patch=None,
+               max_voxels: int = _PRIMARY_CAP):
     import jax
 
     from multimodal_gar_tpu.models import MGAR
     from multimodal_gar_tpu.utils.testing import flagship_config, synthetic_batch
 
-    cfg = flagship_config(dtype=dtype)
+    cfg = flagship_config(dtype=dtype, max_voxels=max_voxels)
     if cfg_patch is not None:
         cfg = cfg_patch(cfg)
-    batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
+    batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=100)
     model = MGAR(cfg)
     init_b = batch if chunk is None else jax.tree_util.tree_map(
         lambda x: x[:chunk], batch)
@@ -123,6 +156,7 @@ def _chain_eval(fn):
 
     return chained
 
+
 def _timed(chained, args, k: int, iters: int = 3) -> float:
     float(chained(*args, k))      # compile + warm
     t0 = time.perf_counter()
@@ -133,10 +167,11 @@ def _timed(chained, args, k: int, iters: int = 3) -> float:
 
 def eval_throughput(batch_size: int, dtype: str = "float32",
                     k: int | None = None, chunk: int | None = None,
-                    cfg_patch=None) -> float:
+                    cfg_patch=None, max_voxels: int = _PRIMARY_CAP) -> float:
     """clips/sec at the flagship config; raises on OOM."""
     fn, variables, batch = build_eval(batch_size, dtype, chunk=chunk,
-                                      cfg_patch=cfg_patch)
+                                      cfg_patch=cfg_patch,
+                                      max_voxels=max_voxels)
     chained = _chain_eval(fn)
     if k is None:
         k = max(8, 40 // batch_size)
@@ -146,10 +181,11 @@ def eval_throughput(batch_size: int, dtype: str = "float32",
     return batch_size / per_call
 
 
-def fwd_flops(batch_size: int = 1) -> float | None:
+def fwd_flops(batch_size: int = 1,
+              max_voxels: int = _PRIMARY_CAP) -> float | None:
     """Analytic forward FLOPs for one eval call from XLA cost analysis."""
     import jax
-    fn, variables, batch = build_eval(batch_size)
+    fn, variables, batch = build_eval(batch_size, max_voxels=max_voxels)
     try:
         cost = jax.jit(fn).lower(variables, batch).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -161,7 +197,11 @@ def fwd_flops(batch_size: int = 1) -> float | None:
 
 def train_throughput(batch_size: int = 1, k: int = 8,
                      cfg_patch=None) -> float:
-    """Full-res train steps/sec: forward+backward+Adam (accum-8 MultiSteps)."""
+    """Full-res train steps/sec: forward+backward+Adam (accum-8 MultiSteps).
+
+    Train uses the TRAIN voxel cap (16k) — the reference trains at 16k
+    (mil3.yaml:56-60) and evals at 40k.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -170,10 +210,10 @@ def train_throughput(batch_size: int = 1, k: int = 8,
                                                       make_train_step)
     from multimodal_gar_tpu.utils.testing import flagship_config, synthetic_batch
 
-    cfg = flagship_config()
+    cfg = flagship_config(max_voxels=_CONTINUITY_CAP)
     if cfg_patch is not None:
         cfg = cfg_patch(cfg)
-    batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=40)
+    batch = synthetic_batch(cfg, batch_size=batch_size, n_valid=100)
     model = MGAR(cfg)
     state, tx = create_train_state(cfg, model, batch, jax.random.PRNGKey(0),
                                    cfg.train.stages[0], steps_per_epoch=64)
@@ -198,92 +238,192 @@ def train_throughput(batch_size: int = 1, k: int = 8,
     return 1.0 / per_step
 
 
-def _try(fn, *args, **kw):
-    try:
-        return fn(*args, **kw)
-    except Exception as e:  # OOM on large batches, missing cost analysis, ...
-        import sys
-        print(f"bench: {fn.__name__}{args} failed: {type(e).__name__}: "
-              f"{str(e)[:200]}", file=sys.stderr)
-        return None
+# ---------------------------------------------------------------------------
+# child mode: one measurement per process, result on a RESULT line
+# ---------------------------------------------------------------------------
+
+def _remat_patch(cfg):
+    import dataclasses
+    model = dataclasses.replace(
+        cfg.model, rgb=dataclasses.replace(cfg.model.rgb, i3d_remat=True))
+    return dataclasses.replace(cfg, model=model)
 
 
-def main():
-    import sys
-    if "--cpu-baseline" in sys.argv:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        cps = eval_throughput(1, k=4)
-        print(f"cpu baseline clips/s: {cps:.4f}")
-        return
+def run_measurement(spec: str):
+    """Execute one measurement spec in THIS process (which owns a backend).
 
-    import jax as _jax
-    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    quick = "--quick" in sys.argv
-    sweep = {}
-    chunked = {}
-    for b in ([1] if quick else [1, 2, 4, 8]):
-        sweep[str(b)] = _try(eval_throughput, b)
-        if sweep[str(b)] is None and b > 1:
-            # monolithic program exceeds HBM: lax.map over sub-batches
-            for ch in (4, 2, 1):
-                if ch >= b:
-                    continue
-                v = _try(eval_throughput, b, chunk=ch)
-                if v is not None:
-                    sweep[str(b)] = v
-                    chunked[str(b)] = ch
-                    break
-
-    measured = {int(k): v for k, v in sweep.items() if v}
-    if not measured:
-        print(json.dumps({"metric": "clips_per_sec_per_chip", "value": 0.0,
-                          "unit": "clips/s", "vs_baseline": 0.0,
-                          "detail": {"error": "all batch sizes failed",
-                                     "eval_clips_per_sec": sweep}}))
-        return
-    best_b = max(measured, key=measured.get)
-    best = measured[best_b]
-
-    detail = {"eval_clips_per_sec": sweep, "best_batch": best_b}
-    if chunked:
-        detail["eval_chunked_batches"] = chunked
-    if not quick:
-        detail["eval_bf16_clips_per_sec_best_batch"] = _try(
-            eval_throughput, best_b, "bfloat16")
-        detail["train_steps_per_sec_b1_fullres"] = _try(train_throughput, 1)
-
-        def _remat(cfg):
-            import dataclasses
-            model = dataclasses.replace(
-                cfg.model, rgb=dataclasses.replace(cfg.model.rgb,
-                                                   i3d_remat=True))
-            return dataclasses.replace(cfg, model=model)
-
-        v = _try(train_throughput, 2)
-        if v is None:
-            v = _try(train_throughput, 2, cfg_patch=_remat)
-            if v is not None:
-                detail["train_b2_remat"] = True
-        detail["train_steps_per_sec_b2_fullres"] = v
-        flops = _try(fwd_flops, 1)
-        if flops:
-            peak = _peak_flops()
-            detail["fwd_flops_per_clip"] = flops
-            detail["eval_mfu_vs_bf16_peak"] = round(
-                flops * measured.get(1, best) / peak, 4)
+    Specs: ``device`` | ``flops`` | ``eval:B[:bf16][:chunkN][:16k]`` |
+    ``train:B[:remat]``.
+    """
     import jax
-    detail["device"] = jax.devices()[0].device_kind
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    parts = spec.split(":")
+    kind = parts[0]
+    if kind == "device":
+        return jax.devices()[0].device_kind
+    if kind == "flops":
+        cap = _CONTINUITY_CAP if "16k" in parts else _PRIMARY_CAP
+        return fwd_flops(1, max_voxels=cap)
+    if kind == "eval":
+        b = int(parts[1])
+        dtype = "bfloat16" if "bf16" in parts[2:] else "float32"
+        cap = _CONTINUITY_CAP if "16k" in parts[2:] else _PRIMARY_CAP
+        chunk = None
+        for p in parts[2:]:
+            if p.startswith("chunk"):
+                chunk = int(p[5:])
+        return eval_throughput(b, dtype, chunk=chunk, max_voxels=cap)
+    if kind == "train":
+        b = int(parts[1])
+        patch = _remat_patch if "remat" in parts[2:] else None
+        return train_throughput(b, cfg_patch=patch)
+    raise ValueError(f"unknown measurement spec {spec!r}")
+
+
+def _child_main(spec: str):
+    v = run_measurement(spec)
+    print("RESULT " + json.dumps({"value": v}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent mode: orchestrate children, never touch the backend, always emit
+# ---------------------------------------------------------------------------
+
+def _run_child(spec: str, timeout_s: float):
+    """Run one measurement subprocess. Returns (value, err, stderr_tail)."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure", spec],
+            capture_output=True, text=True, timeout=max(timeout_s, 5),
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr.decode() if isinstance(e.stderr, bytes)
+                else (e.stderr or "")) or ""
+        return None, f"timeout({int(timeout_s)}s)", tail[-2000:]
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])["value"], None, ""
+    tail = (proc.stderr or "")[-2000:]
+    err_line = next((ln for ln in reversed(tail.splitlines()) if ln.strip()),
+                    f"rc={proc.returncode}")
+    return None, err_line[-200:], tail
+
+
+class _Orchestrator:
+    def __init__(self, budget_s: float):
+        self.t_end = time.time() + budget_s
+        self.backend_down = not _tunnel_alive()
+        self.errors: dict[str, str] = {}
+        if self.backend_down:
+            self.errors["tunnel"] = "relay not listening on 8082 at start"
+
+    def remaining(self) -> float:
+        return self.t_end - time.time()
+
+    def run(self, spec: str, cap_s: float = 1800.0):
+        if self.backend_down:
+            self.errors.setdefault(spec, "skipped: backend down")
+            return None
+        rem = self.remaining()
+        if rem < 90:
+            self.errors.setdefault(spec, "skipped: budget exhausted")
+            return None
+        val, err, tail = _run_child(spec, min(cap_s, rem - 30))
+        if err:
+            self.errors[spec] = err
+            if ("Unable to initialize backend" in tail
+                    or "UNAVAILABLE" in tail or not _tunnel_alive()):
+                self.backend_down = True
+                self.errors["tunnel"] = f"backend lost during {spec}"
+        return val
+
+
+def _emit(best: float, cap: int, detail: dict):
+    base = CPU_BASELINE_CLIPS_PER_SEC.get(cap)
     print(json.dumps({
         "metric": "clips_per_sec_per_chip",
         "value": round(best, 4),
         "unit": "clips/s",
-        "vs_baseline": round(best / CPU_BASELINE_CLIPS_PER_SEC, 2),
+        "vs_baseline": round(best / base, 2) if base else 0.0,
         "detail": detail,
-    }))
+    }), flush=True)
+
+
+def main():
+    import sys
+    argv = sys.argv[1:]
+    if "--measure" in argv:
+        _child_main(argv[argv.index("--measure") + 1])
+        return
+    if "--cpu-baseline" in argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        cap = _PRIMARY_CAP
+        if "--max-voxels" in argv:
+            cap = int(argv[argv.index("--max-voxels") + 1])
+        cps = eval_throughput(1, k=4, max_voxels=cap)
+        print(f"cpu baseline clips/s @ {cap} voxels: {cps:.4f}")
+        return
+
+    quick = "--quick" in argv
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    orch = _Orchestrator(budget)
+    sweep: dict[str, float | None] = {}
+    chunked: dict[str, int] = {}
+    detail: dict = {"eval_clips_per_sec": sweep, "voxel_cap": _PRIMARY_CAP}
+
+    for b in ([1] if quick else [1, 2, 4, 8]):
+        sweep[str(b)] = orch.run(f"eval:{b}")
+        if sweep[str(b)] is None and b > 1 and not orch.backend_down:
+            # monolithic program exceeds HBM: lax.map over sub-batches
+            for ch in (4, 2, 1):
+                if ch >= b:
+                    continue
+                v = orch.run(f"eval:{b}:chunk{ch}")
+                if v is not None:
+                    sweep[str(b)] = v
+                    chunked[str(b)] = ch
+                    break
+    if chunked:
+        detail["eval_chunked_batches"] = chunked
+
+    measured = {int(k): v for k, v in sweep.items() if v}
+    if not measured:
+        detail["errors"] = orch.errors
+        detail["tunnel_alive"] = _tunnel_alive()
+        _emit(0.0, _PRIMARY_CAP, detail)
+        return
+    best_b = max(measured, key=measured.get)
+    best = measured[best_b]
+    detail["best_batch"] = best_b
+
+    if not quick:
+        detail["eval_bf16_clips_per_sec_best_batch"] = orch.run(
+            f"eval:{best_b}:bf16")
+        detail["eval_clips_per_sec_16k_continuity"] = orch.run(
+            "eval:1:16k", cap_s=1200)
+        flops = orch.run("flops", cap_s=900)
+        detail["train_steps_per_sec_b1_fullres"] = orch.run("train:1")
+        v = orch.run("train:2")
+        if v is None and not orch.backend_down:
+            v = orch.run("train:2:remat")
+            if v is not None:
+                detail["train_b2_remat"] = True
+        detail["train_steps_per_sec_b2_fullres"] = v
+        kind = orch.run("device", cap_s=240)
+        if kind:
+            detail["device"] = kind
+        if flops:
+            detail["fwd_flops_per_clip"] = flops
+            detail["eval_mfu_vs_bf16_peak"] = round(
+                flops * measured.get(1, best) / _peak_flops(kind or "v5e"), 4)
+    if orch.errors:
+        detail["errors"] = orch.errors
+    _emit(best, _PRIMARY_CAP, detail)
 
 
 if __name__ == "__main__":

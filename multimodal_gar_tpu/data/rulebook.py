@@ -195,6 +195,11 @@ def add_x_window_maps(rb: Dict[str, np.ndarray], coords0: np.ndarray,
     backbone before the first conv); downsampled stages are already
     key-sorted by construction (np.unique / std::sort in both builders).
     """
+    # the packed window word stores the row index in WINDOW_POS_BITS bits;
+    # a stage cap beyond that would silently corrupt the slot-selector bits
+    assert max(max_voxels_per_stage) <= WINDOW_POS_MASK, (
+        f"x-window maps pack row indices into {WINDOW_POS_BITS} bits; "
+        f"stage caps {tuple(max_voxels_per_stage)} exceed {WINDOW_POS_MASK}")
     try:
         from ..native import native_xwindow
         if native_xwindow(rb, coords0, n_valid0, spatial_shape,

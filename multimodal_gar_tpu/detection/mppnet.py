@@ -222,12 +222,16 @@ class GroupedEncoderLayer(nn.Module):
             # fusion of the point tokens (mppnet_utils:325-341)
             allg = jnp.concatenate([mixed[i] for i in range(g)], -1)
             fused = MLPStack(h, h, 4, name="fusion_all")(allg)  # (N, P, H)
+            # ONE shared FFN across groups (the reference's
+            # TransformerEncoderLayer reuses self.ffn in its cross-attention
+            # loop, mppnet_utils.py:325-341)
+            ffn = FFNBlock(2 * h, name="ffn")
             outs = []
             for i in range(g):
                 ca = nn.MultiHeadDotProductAttention(
                     num_heads=c.num_heads, name=f"cross{i}")(
                     mixed[i], fused, fused)
-                outs.append(FFNBlock(2 * h, name=f"ffn{i}")(mixed[i], ca))
+                outs.append(ffn(mixed[i], ca))
             points = jnp.stack(outs, 0)
         else:
             points = mixed
@@ -340,7 +344,16 @@ class MPPNetHead(nn.Module):
                              geo_memory, cur[:, None])
             geo_all = jnp.concatenate([proxy_feat, past], axis=1)
         else:
-            geo_all = proxy_feat                             # (B, T, R, P, H)
+            # offline mode: trajectory-invalid frames fall back to a REPEAT
+            # of the current frame's proxy features — matching the
+            # reference's crops (mppnet_head.py crop_current_frame_points
+            # repeats src over T; crop_previous_frame_points only overwrites
+            # frames with a valid trajectory) and this module's own E2E
+            # online fallback above, so a model trained offline sees the
+            # same invalid-frame features when later run online.
+            cur = proxy_feat[:, :1]                          # (B, 1, R, P, H)
+            geo_all = jnp.where(traj_valid[:, :, :, None, None],
+                                proxy_feat, cur)             # (B, T, R, P, H)
         geo_bank = geo_all[:, 0]                             # for the bank
 
         # --- motion on proxy points: offsets to the CURRENT box + time ----
@@ -357,9 +370,9 @@ class MPPNetHead(nn.Module):
         src = (geo_all.reshape(b * t * r, p3, c.hidden) + motion) \
             .reshape(b, t, r, p3, c.hidden)
         # per-ROI masking only (reference USE_TRAJ_EMPTY_MASK zeroes src for
-        # empty ROIs; invalid FRAMES keep their features — the reference
-        # computes geometry from the zero-filled crops there, and the E2E
-        # repeat-current fallback must stay live)
+        # empty ROIs; invalid FRAMES carry the repeated current-frame proxy
+        # features substituted above — identically in the offline and E2E
+        # online paths)
         src = src * roi_valid[:, None, :, None, None].astype(src.dtype)
         frame_summary = jnp.max(src, axis=3)                 # (B, T, R, H)
 

@@ -171,13 +171,21 @@ def _downsample_active_set(coords, valid, in_shape, out_shape, kernel_size,
         keys = vox.linear_keys(o.reshape(-1, 3), ov.reshape(-1), out_shape)
         uniq = jnp.unique(keys, size=max_out, fill_value=vox.INVALID_KEY)
         out_valid = uniq != vox.INVALID_KEY
+        # overflow signal: true unique count vs the fixed-size buffer.
+        # jnp.unique(size=) keeps the SMALLEST keys; anything beyond max_out
+        # is a silently dropped active site — count them so callers can
+        # surface truncation (scored locations in the reference).
+        sk = jnp.sort(keys)
+        first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        n_unique = jnp.sum(first & (sk != vox.INVALID_KEY))
+        dropped = jnp.maximum(n_unique - max_out, 0).astype(jnp.int32)
         zdim, ydim, xdim = out_shape
         safe = jnp.where(out_valid, uniq, 0)
         oz = safe // (ydim * xdim)
         oy = (safe // xdim) % ydim
         ox = safe % xdim
         out_coords = jnp.stack([oz, oy, ox], axis=-1).astype(jnp.int32)
-        return out_coords, out_valid
+        return out_coords, out_valid, dropped
 
     return jax.vmap(per_item)(coords, valid)
 
@@ -216,10 +224,14 @@ class SparseConv3dDown(nn.Module):
             safe = jnp.clip(down_idx, 0)
             gathered = jax.vmap(lambda f, i: f[i])(st.features, safe) * hit
         else:
-            out_coords, out_valid = _downsample_active_set(
+            out_coords, out_valid, dropped = _downsample_active_set(
                 st.coords, st.valid, st.spatial_shape, out_shape,
                 self.kernel_size, self.stride, self.padding,
                 self.max_out_voxels)
+            # surface active-set truncation (opt-in: visible to callers that
+            # apply with mutable=["intermediates"]; tested for VoxelNeXt's
+            # dilated conv_out where dropped sites are scored locations)
+            self.sow("intermediates", "dropped_sites", dropped)
 
             s = jnp.asarray(_tup3(self.stride), jnp.int32)
             p = jnp.asarray(_tup3(self.padding), jnp.int32)

@@ -42,6 +42,40 @@ def test_vector_pool_local_agg_shapes():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_downsample_active_set_reports_dropped_sites():
+    """Fixed-size active-set derivation counts (does not hide) truncation."""
+    from multimodal_gar_tpu.models.sparse_backbone import \
+        _downsample_active_set
+    rng = np.random.default_rng(3)
+    in_shape = (8, 16, 16)
+    m = 64
+    coords = np.stack([rng.integers(0, s, m) for s in in_shape],
+                      -1).astype(np.int32)
+    valid = np.ones((m,), bool)
+    out_shape = tuple((d + 2 * 1 - 3) // 2 + 1 for d in in_shape)
+
+    # brute-force expected output active set (spconv SparseConv3d semantics)
+    outs = set()
+    for z, y, x in coords:
+        for kz in range(3):
+            for ky in range(3):
+                for kx in range(3):
+                    num = np.array([z, y, x]) + 1 - np.array([kz, ky, kx])
+                    if (num % 2 == 0).all():
+                        o = num // 2
+                        if ((o >= 0) & (o < np.array(out_shape))).all():
+                            outs.add(tuple(o))
+    n_unique = len(outs)
+    assert n_unique > 8
+
+    for max_out, want_drop in [(n_unique + 8, 0), (n_unique - 5, 5)]:
+        oc, ov, dropped = _downsample_active_set(
+            jnp.asarray(coords)[None], jnp.asarray(valid)[None],
+            in_shape, out_shape, 3, 2, 1, max_out)
+        assert int(dropped[0]) == want_drop
+        assert int(ov[0].sum()) == min(n_unique, max_out)
+
+
 def test_voxelnext_train_and_predict():
     from multimodal_gar_tpu.detection.voxelnext import (VoxelNeXtConfig,
                                                         VoxelNeXtDetector)
@@ -63,10 +97,19 @@ def test_voxelnext_train_and_predict():
     assert jnp.isfinite(losses["loss"]), losses
     assert losses["hm_loss"] > 0
 
-    eval_preds = jax.jit(lambda v, b: model.apply(v, b, train=False))(
-        variables, batch)
+    eval_preds, inter = jax.jit(lambda v, b: model.apply(
+        v, b, train=False, mutable=["intermediates"]))(variables, batch)
     out = jax.jit(model.predict)(eval_preds)
     assert out["boxes"].shape == (1, 16, 7)
+
+    # BEV conv_out truncation is observable (ADVICE r3: dropped sites are
+    # scored locations in the reference — must not be silent)
+    leaves = {"/".join(str(k) for k in path): v for path, v in
+              jax.tree_util.tree_flatten_with_path(inter)[0]}
+    drop_keys = [k for k in leaves if "conv_out" in k and "dropped" in k]
+    assert drop_keys, list(leaves)
+    # per-item counts, shape (B,): this tiny scene fits the cap
+    assert int(jnp.asarray(leaves[drop_keys[0]]).sum()) == 0
 
 
 def test_pvrcnn_pp_train_and_predict():
