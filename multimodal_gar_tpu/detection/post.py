@@ -9,7 +9,8 @@ Capability parity with:
 TPU-native design: everything is fixed-shape. Selection returns a padded
 (max_out,) set with a validity mask instead of dynamically-sized index lists;
 score thresholding folds into the mask. The NMS core is ops/boxes3d.nms_bev
-(rotated-IoU suppression sweep) or nms_normal_bev.
+(rotated-IoU suppression sweep), nms_normal_bev, or circle_nms
+(center-distance suppression, centernet_utils.py:100-130).
 """
 from __future__ import annotations
 
@@ -24,7 +25,10 @@ from ..ops import boxes3d
 
 @dataclasses.dataclass(frozen=True)
 class NMSConfig:
-    nms_type: str = "nms_bev"            # nms_bev | nms_normal_bev
+    # nms_bev | nms_normal_bev | circle_nms. For circle_nms, nms_thresh is
+    # the SQUARED-center-distance threshold (the reference's min_radius,
+    # centernet_utils.py:100-130) — used by the CenterPoint family.
+    nms_type: str = "nms_bev"
     nms_thresh: float = 0.7
     nms_pre_maxsize: int = 1024
     nms_post_maxsize: int = 256
@@ -36,7 +40,8 @@ class NMSConfig:
 
 def _nms_fn(name: str):
     return {"nms_bev": boxes3d.nms_bev,
-            "nms_normal_bev": boxes3d.nms_normal_bev}[name]
+            "nms_normal_bev": boxes3d.nms_normal_bev,
+            "circle_nms": boxes3d.circle_nms}[name]
 
 
 def class_agnostic_nms(scores: jnp.ndarray, boxes: jnp.ndarray,

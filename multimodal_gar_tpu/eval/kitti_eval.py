@@ -11,7 +11,12 @@ SURVEY.md §2.2 row 19), re-implemented from the published KITTI protocol:
   - "similar" classes (Van~Car, Person_sitting~Pedestrian) and DontCare
     regions count as ignored — they neither score nor penalize;
   - R40 interpolated AP: mean precision at recall 1/40 .. 40/40, with score
-    thresholds taken from the sorted TP scores at those recall fractions.
+    thresholds taken from the sorted TP scores at those recall fractions;
+  - AOS (average orientation similarity, bbox metric only): each TP
+    contributes (1 + cos(gt_alpha - det_alpha)) / 2 and each FP contributes
+    0; the per-threshold similarity is normalized by (tp + fp) and
+    interpolated/averaged exactly like precision (reference
+    kitti_object_eval_python/eval.py:168,237-263).
 
 The greedy per-image assignment mirrors the devkit: each valid GT takes the
 highest-overlap unassigned detection above min_overlap; detections matched
@@ -150,10 +155,18 @@ class FrameAnnotations:
     # never scored and never count as false positives. Optional because
     # lidar-native pipelines carry no 2D boxes for 3D detections.
     det_ignored: np.ndarray = None
+    # observation angles (KITTI label alpha) for AOS; optional — AOS is
+    # only defined for the bbox metric on camera-frame labels
+    gt_alphas: np.ndarray = None      # (G,)
+    det_alphas: np.ndarray = None     # (D,)
 
     def __post_init__(self):
         if self.det_ignored is None:
             self.det_ignored = np.zeros(len(self.det_names), bool)
+
+    @property
+    def has_alphas(self) -> bool:
+        return self.gt_alphas is not None and self.det_alphas is not None
 
 
 def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
@@ -179,21 +192,27 @@ def _classify(frame: FrameAnnotations, cls: str, difficulty: int):
 
 def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
                  det_care, min_overlap: float, thresh: float,
-                 det_ignored=None, dc_overlap=None):
-    """Matching at one score threshold -> (tp, fp, fn).
+                 det_ignored=None, dc_overlap=None,
+                 gt_alphas=None, det_alphas=None):
+    """Matching at one score threshold -> (tp, fp, fn, similarity).
 
     Mirrors the devkit's compute_statistics with compute_fp=True
     (kitti_object_eval_python/eval.py compute_statistics_jit): GTs iterate
     in order; each (care or ignored) GT claims its max-OVERLAP unassigned
     detection with overlap strictly > min_overlap; ignored GTs consume
     their match without scoring; unmatched above-threshold detections are
-    false positives."""
+    false positives. With alphas given, each TP adds
+    (1 + cos(gt_alpha - det_alpha)) / 2 to the orientation similarity
+    (each FP implicitly adds 0 — the devkit's tmp array of fp zeros,
+    eval.py:263-268)."""
     g, d = iou.shape
     thresh_ok = scores >= thresh      # devkit ignored_threshold
     det_ign = det_ignored if det_ignored is not None \
         else np.zeros(d, bool)
     assigned = np.zeros(d, bool)
     tp = fn = 0
+    sim = 0.0
+    aos = gt_alphas is not None and det_alphas is not None
     for i in range(g):
         if not care_g[i] and not ign_g[i]:
             continue
@@ -215,6 +234,9 @@ def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
         else:
             assigned[det_idx] = True
             tp += 1
+            if aos:
+                sim += (1.0 + np.cos(gt_alphas[i]
+                                     - det_alphas[det_idx])) / 2.0
     det_ign = det_ignored if det_ignored is not None \
         else np.zeros(d, bool)
     # DontCare absorb-all (devkit stuff pass, bbox metric ONLY): every
@@ -229,7 +251,7 @@ def _frame_stats(iou: np.ndarray, scores: np.ndarray, care_g, ign_g,
                 if (dc_overlap[:, j] > min_overlap).any():
                     dc_hit[j] = True
     fp = int((det_care & thresh_ok & ~assigned & ~det_ign & ~dc_hit).sum())
-    return tp, fp, fn
+    return tp, fp, fn, sim
 
 
 def _tp_scores(iou, scores, care_g, ign_g, det_care, min_overlap,
@@ -267,8 +289,12 @@ def _iou_for(frames: Sequence[FrameAnnotations], metric: str):
 def eval_class(frames: Sequence[FrameAnnotations], cls: str,
                difficulty: int, metric: str,
                min_overlap: Optional[float] = None) -> Dict[str, float]:
-    """AP_R40 for one (class, difficulty, metric)."""
+    """AP_R40 (and, for the bbox metric with alphas, AOS_R40) for one
+    (class, difficulty, metric)."""
     mo = min_overlap if min_overlap is not None else MIN_OVERLAPS[cls]
+    # AOS is defined on the image-plane matching only (devkit: compute_aos
+    # implies metric == 0), and needs observation angles on both sides
+    compute_aos = metric == "bbox" and all(f.has_alphas for f in frames)
     ious = _iou_for(frames, metric)
     parts = [_classify(f, cls, difficulty) for f in frames]
     # devkit stuff pass exists only for the 2D bbox metric, with
@@ -283,8 +309,11 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
             dc_overlaps.append(None)
     total_gt = sum(int(c.sum()) for c, _, _ in parts)
     if total_gt == 0:
-        return {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS),
-                "recall": np.zeros(N_SAMPLE_PTS)}
+        out = {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS),
+               "recall": np.zeros(N_SAMPLE_PTS)}
+        if compute_aos:
+            out["aos"] = 0.0
+        return out
 
     all_tp_scores = []
     for f, iou, (care_g, ign_g, det_care) in zip(frames, ious, parts):
@@ -305,33 +334,49 @@ def eval_class(frames: Sequence[FrameAnnotations], cls: str,
         cur_recall += 1.0 / (N_SAMPLE_PTS - 1)
     prec = np.zeros(N_SAMPLE_PTS)
     rec = np.zeros(N_SAMPLE_PTS)
+    aos = np.zeros(N_SAMPLE_PTS)
     for k, t in enumerate(thresholds):
         tp = fp = fn = 0
+        sim = 0.0
         for f, iou, dc_ov, (care_g, ign_g, det_care) in zip(
                 frames, ious, dc_overlaps, parts):
-            a, b, c = _frame_stats(iou, f.det_scores, care_g, ign_g,
-                                   det_care, mo, t,
-                                   det_ignored=f.det_ignored,
-                                   dc_overlap=dc_ov)
-            tp, fp, fn = tp + a, fp + b, fn + c
+            a, b, c, s = _frame_stats(
+                iou, f.det_scores, care_g, ign_g, det_care, mo, t,
+                det_ignored=f.det_ignored, dc_overlap=dc_ov,
+                gt_alphas=f.gt_alphas if compute_aos else None,
+                det_alphas=f.det_alphas if compute_aos else None)
+            tp, fp, fn, sim = tp + a, fp + b, fn + c, sim + s
         prec[k] = tp / max(tp + fp, 1)
         rec[k] = tp / max(tp + fn, 1)
+        if compute_aos:
+            # devkit eval.py:237-263: aos = similarity / (tp + fp)
+            aos[k] = sim / max(tp + fp, 1)
     # right-max interpolation then R40 mean (skip the recall-0 point)
     for k in range(N_SAMPLE_PTS - 2, -1, -1):
         prec[k] = max(prec[k], prec[k + 1])
+        aos[k] = max(aos[k], aos[k + 1])
     ap = float(prec[1:].sum() / (N_SAMPLE_PTS - 1))
-    return {"ap": ap * 100.0, "precision": prec, "recall": rec}
+    out = {"ap": ap * 100.0, "precision": prec, "recall": rec}
+    if compute_aos:
+        out["aos"] = float(aos[1:].sum() / (N_SAMPLE_PTS - 1)) * 100.0
+        out["orientation_similarity"] = aos
+    return out
 
 
 def evaluate(frames: Sequence[FrameAnnotations],
              classes: Sequence[str] = ("Car", "Pedestrian", "Cyclist"),
              metrics: Sequence[str] = ("bev", "3d"),
              difficulties: Sequence[int] = (0, 1, 2)) -> Dict[str, float]:
-    """Full result table {"<cls>_<metric>_<difficulty>": AP_R40}."""
+    """Full result table {"<cls>_<metric>_<difficulty>": AP_R40}; for the
+    bbox metric with observation angles present, also
+    {"<cls>_aos_<difficulty>": AOS_R40}."""
     out = {}
     for cls in classes:
         for metric in metrics:
             for d in difficulties:
-                key = f"{cls}_{metric}_{['easy','moderate','hard'][d]}"
-                out[key] = eval_class(frames, cls, d, metric)["ap"]
+                diff = ['easy', 'moderate', 'hard'][d]
+                r = eval_class(frames, cls, d, metric)
+                out[f"{cls}_{metric}_{diff}"] = r["ap"]
+                if "aos" in r:
+                    out[f"{cls}_aos_{diff}"] = r["aos"]
     return out

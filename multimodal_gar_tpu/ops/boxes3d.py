@@ -176,6 +176,40 @@ def nms_normal_bev(boxes: jnp.ndarray, scores: jnp.ndarray,
     return nms_bev(aa, scores, iou_threshold, valid)
 
 
+def circle_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+               dist_threshold: float = 2.0,
+               valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Greedy center-distance NMS -> (N,) keep mask.
+
+    CenterPoint-family variant (reference
+    pcdet/models/model_utils/centernet_utils.py:100-130 circle_nms /
+    _circle_nms): a lower-scored box is suppressed when its SQUARED BEV
+    center distance to a kept box is <= dist_threshold. Note the reference
+    compares the squared distance against the raw ``min_radius`` config
+    value (`dist <= thresh` with no square on thresh) — kept faithful here,
+    so thresholds from pcdet configs transfer unchanged.
+
+    Same O(N^2)-matrix + sequential-sweep structure as nms_bev: fixed
+    shapes, fori_loop, no data-dependent sizes.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    centers = boxes[:, :2]
+    d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, -1)
+    order = jnp.argsort(-scores)
+
+    def body(i, keep):
+        bi = order[i]
+        higher = jnp.arange(n) < i
+        sup = jnp.any(keep[order] & higher
+                      & (d2[bi, order] <= dist_threshold))
+        return keep.at[bi].set(valid[bi] & ~sup)
+
+    keep0 = jnp.zeros((n,), bool)
+    return jax.lax.fori_loop(0, n, body, keep0)
+
+
 # ---------------------------------------------------------------------------
 # ROI-aware / ROI point pooling
 # ---------------------------------------------------------------------------

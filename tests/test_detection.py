@@ -360,6 +360,25 @@ def test_centerpoint_train_and_predict():
         variables, batch)
     assert out["boxes"].shape[0] == 1 and out["boxes"].shape[2] == 7
 
+    # circle-NMS variant (center_head.py:277: NMS_TYPE == 'circle_nms'):
+    # predict is a pure function of (preds, cfg), so reuse the eval preds
+    import dataclasses as dc
+    cfg2 = dc.replace(cfg, nms=dc.replace(cfg.nms, nms_type="circle_nms",
+                                          nms_thresh=4.0))
+    model2 = build_detector("CenterPoint", cfg2)
+    preds = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables,
+                                                                 batch)
+    out2 = jax.jit(model2.predict)(preds)
+    assert out2["boxes"].shape == out["boxes"].shape
+    # kept centers are pairwise farther than the squared-distance threshold
+    xy = np.asarray(out2["boxes"][0, :, :2])
+    vd = np.asarray(out2["valid"][0])
+    kept = xy[vd]
+    if len(kept) > 1:
+        d2 = ((kept[:, None] - kept[None, :]) ** 2).sum(-1)
+        d2[np.arange(len(kept)), np.arange(len(kept))] = np.inf
+        assert d2.min() > 4.0
+
 
 def test_registry_lists_detectors():
     names = available_detectors()

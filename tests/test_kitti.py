@@ -167,6 +167,56 @@ def test_eval_dontcare_and_similar_not_penalized():
     assert res["ap"] == pytest.approx(100.0, abs=1e-3)
 
 
+def _bbox_frames(n=50, delta=0.0, alphas=True):
+    """n single-GT image-plane frames; detections exact with gt_alpha+delta."""
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n):
+        box = np.asarray([10 * (i % 7), 10 * (i // 7),
+                          10 * (i % 7) + 8, 10 * (i // 7) + 8], np.float32)
+        alpha = float(rng.uniform(-np.pi, np.pi))
+        frames.append(FrameAnnotations(
+            gt_boxes=box[None], gt_names=["Car"],
+            gt_difficulty=np.zeros(1, np.int32),
+            det_boxes=box[None], det_names=["Car"],
+            det_scores=np.asarray([float(rng.uniform(0.5, 1.0))],
+                                  np.float32),
+            gt_alphas=np.asarray([alpha], np.float32) if alphas else None,
+            det_alphas=np.asarray([alpha + delta], np.float32)
+            if alphas else None))
+    return frames
+
+
+def test_aos_perfect_orientation_equals_ap():
+    """AOS golden (devkit eval.py:168,237-263): exact alphas -> AOS == AP."""
+    res = eval_class(_bbox_frames(50, delta=0.0), "Car", 2, "bbox")
+    assert res["ap"] == pytest.approx(100.0, abs=1e-3)
+    assert res["aos"] == pytest.approx(100.0, abs=1e-3)
+
+
+def test_aos_opposite_orientation_zero():
+    """Every TP rotated by pi: similarity (1+cos(pi))/2 = 0 -> AOS 0."""
+    res = eval_class(_bbox_frames(50, delta=np.pi), "Car", 2, "bbox")
+    assert res["ap"] == pytest.approx(100.0, abs=1e-3)
+    assert res["aos"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_aos_quarter_turn_half_similarity():
+    """delta = pi/2 on every TP: per-TP similarity exactly 0.5 -> AOS 50."""
+    res = eval_class(_bbox_frames(50, delta=np.pi / 2), "Car", 2, "bbox")
+    assert res["ap"] == pytest.approx(100.0, abs=1e-3)
+    assert res["aos"] == pytest.approx(50.0, abs=1e-2)
+
+
+def test_aos_in_evaluate_table_only_with_alphas():
+    table = evaluate(_bbox_frames(50), classes=("Car",), metrics=("bbox",))
+    assert table["Car_aos_moderate"] == pytest.approx(100.0, abs=1e-3)
+    table2 = evaluate(_bbox_frames(50, alphas=False), classes=("Car",),
+                      metrics=("bbox",))
+    assert "Car_aos_moderate" not in table2
+    assert table2["Car_bbox_moderate"] == pytest.approx(100.0, abs=1e-3)
+
+
 def test_evaluate_table_keys():
     table = evaluate(_many_frames(50), classes=("Car",),
                      metrics=("bev", "3d"))

@@ -120,6 +120,57 @@ def test_nms_suppresses_duplicates():
     np.testing.assert_array_equal(keep, [True, False, True])
 
 
+def _reference_circle_nms(dets_xy, scores, thresh):
+    """Literal re-statement of the devkit greedy (centernet_utils.py:100-124)
+    for golden comparison: squared center distance <= thresh suppresses."""
+    order = np.argsort(-scores)
+    suppressed = np.zeros(len(scores), bool)
+    keep = []
+    for _i, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order[_i + 1:]:
+            if suppressed[j]:
+                continue
+            d = (dets_xy[i, 0] - dets_xy[j, 0]) ** 2 \
+                + (dets_xy[i, 1] - dets_xy[j, 1]) ** 2
+            if d <= thresh:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def test_circle_nms_matches_reference_greedy():
+    from multimodal_gar_tpu.ops.boxes3d import circle_nms
+    rng = np.random.default_rng(7)
+    n = 64
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :2] = rng.uniform(0, 12, (n, 2))     # clustered -> suppressions
+    boxes[:, 3:6] = 1.0
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    for thresh in (0.5, 2.0, 9.0):
+        keep = np.asarray(circle_nms(jnp.asarray(boxes),
+                                     jnp.asarray(scores), thresh))
+        expect = _reference_circle_nms(boxes[:, :2], scores, thresh)
+        assert sorted(np.flatnonzero(keep).tolist()) == expect, thresh
+
+
+def test_circle_nms_simple_and_valid_mask():
+    from multimodal_gar_tpu.ops.boxes3d import circle_nms
+    boxes = jnp.asarray([
+        _box(0, 0, 0, 2, 2, 2, 0.0),
+        _box(1.0, 0, 0, 2, 2, 2, 0.0),    # d2=1 from first
+        _box(10, 10, 0, 2, 2, 2, 0.0),
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep = np.asarray(circle_nms(boxes, scores, 2.0))
+    np.testing.assert_array_equal(keep, [True, False, True])
+    # invalid rows never kept and never suppress others
+    keep = np.asarray(circle_nms(boxes, scores, 2.0,
+                                 valid=jnp.asarray([False, True, True])))
+    np.testing.assert_array_equal(keep, [False, True, True])
+
+
 def test_roiaware_pool3d_max():
     pts = jnp.asarray([[-0.9, -0.9, -0.9], [0.9, 0.9, 0.9],
                        [5, 5, 5]], jnp.float32)
