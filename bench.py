@@ -43,8 +43,9 @@ from functools import partial
 # Pinned single-core CPU baselines for the chained batch-1 eval program,
 # keyed by voxel cap. 16k re-measured 2026-08-18 on the round-3 program
 # (x-window gathers + folded BN sped the CPU run up too; the round-2 pin was
-# 0.0073). 40k pinned this round at the true mil3.yaml test cap.
-CPU_BASELINE_CLIPS_PER_SEC = {16000: 0.0220, 40000: 0.0182}
+# 0.0073). 40k measured 2026-08-18 at the true mil3.yaml test cap
+# (`python bench.py --cpu-baseline --max-voxels 40000`, n_valid=100).
+CPU_BASELINE_CLIPS_PER_SEC = {16000: 0.0220, 40000: 0.0133}
 
 # Peak bf16 MXU throughput per chip, FLOP/s (public spec sheets).
 _PEAK_BF16 = {

@@ -130,6 +130,33 @@ def _set_path(tree: Dict[str, Any], path: str, leaf: str, val: np.ndarray,
     return True
 
 
+# leaves/keys the converter deliberately ignores: torch BN bookkeeping
+# buffers and pcdet checkpoint bookkeeping entries
+IGNORED_LEAVES = ("num_batches_tracked",)
+IGNORED_KEYS = ("global_step",)
+
+
+def unconsumed_pcdet_keys(state_dict, layer_nums=(5, 5)) -> list:
+    """Checkpoint keys convert_pcdet_second neither maps nor deliberately
+    ignores — the key-manifest guard (tests/test_converter_manifests.py):
+    a published pcdet SECOND checkpoint must come back empty, so any key
+    this converter would silently skip is surfaced.
+    """
+    name_map = dict(SECOND_NAME_MAP)
+    name_map.update(_bev_block_map(layer_nums))
+    out = []
+    for key in state_dict:
+        if key in IGNORED_KEYS:
+            continue
+        base, leaf = key.rsplit(".", 1)
+        if leaf in IGNORED_LEAVES:
+            continue
+        if base in name_map:
+            continue
+        out.append(key)
+    return out
+
+
 def convert_pcdet_second(state_dict: Dict[str, np.ndarray],
                          variables: Dict[str, Any],
                          layer_nums=(5, 5), strict: bool = True

@@ -26,6 +26,30 @@ def _split_key(name: str):
     return parts[:-2], parts[-2], parts[-1]
 
 
+# leaves the converter deliberately ignores (torch BN bookkeeping buffers)
+IGNORED_LEAVES = ("num_batches_tracked",)
+
+
+def unconsumed_keys(state_dict: Mapping[str, Any]) -> list:
+    """Checkpoint keys convert_state_dict neither maps nor deliberately
+    ignores — non-empty means the checkpoint contains naming this converter
+    does not understand (the key-manifest guard, tested against the
+    published rgb_imagenet.pt key list in tests/test_converter_manifests.py).
+    """
+    out = []
+    for name in state_dict:
+        _scope, layer, leaf = _split_key(name)
+        if leaf in IGNORED_LEAVES:
+            continue
+        if layer == "conv3d" and leaf in ("weight", "bias"):
+            continue
+        if layer == "bn" and leaf in ("weight", "bias", "running_mean",
+                                      "running_var"):
+            continue
+        out.append(name)
+    return out
+
+
 def convert_state_dict(state_dict: Mapping[str, Any]
                        ) -> Tuple[Dict, Dict]:
     """torch state dict -> (params overlay, batch_stats overlay)."""

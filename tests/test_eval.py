@@ -253,3 +253,86 @@ def test_detection_ap_duplicates_are_false_positives():
     assert base == 1.0
     dup = det + [("f0", np.array([0.1, 0.1, 10, 10.0]), 0.85)]
     assert detection_ap(dup, gt) < base
+
+
+# ---------------------------------------------------------------------------
+# External anchors (VERDICT r3 #7): cross-validate the AP protocol against
+# sklearn's independent average-precision implementation on IoU-degenerate
+# scenes (every detection either exactly hits a GT or misses entirely, so
+# the matching stage is deterministic and only the PR bookkeeping differs),
+# plus hand-computed 3-box scenes that pin the interpolation envelope.
+# ---------------------------------------------------------------------------
+
+def _degenerate_scene(rng, n_gt=12, n_fp=8, alternate=False):
+    """One GT per image, all detected exactly; FPs far away.
+
+    Returns (detections, groundtruth, y_true, y_score) with y_* sorted by
+    descending score — the label/score arrays sklearn consumes.
+    """
+    gts = [(f"img{i}", np.array([10.0 * i, 0, 10.0 * i + 5, 5]))
+           for i in range(n_gt)]
+    dets = []
+    if alternate:
+        # TP,FP,TP,FP,... with descending scores: TP-point precision
+        # k/(2k-1) is strictly decreasing, so the monotone envelope equals
+        # the raw curve and sklearn's AP must match EXACTLY.
+        s = 1.0
+        for i, (key, b) in enumerate(gts):
+            dets.append((key, b, s)); s -= 0.01
+            dets.append((f"img{i}", b + 1000.0, s)); s -= 0.01
+    else:
+        for key, b in gts:
+            dets.append((key, b, float(rng.uniform(0.3, 1.0))))
+        for j in range(n_fp):
+            key = f"img{j % n_gt}"
+            dets.append((key, np.array([9000.0 + 10 * j, 0,
+                                        9005.0 + 10 * j, 5]),
+                         float(rng.uniform(0.3, 1.0))))
+    order = sorted(dets, key=lambda d: -d[2])
+    # TP boxes sit at x0 = 10*i < 500; both FP families are placed far right
+    y_true = np.array([d[1][0] < 500 for d in order], int)
+    y_score = np.array([d[2] for d in order])
+    return dets, gts, y_true, y_score
+
+
+def test_detection_ap_equals_sklearn_on_monotone_scene():
+    from sklearn.metrics import average_precision_score
+    dets, gts, y_true, y_score = _degenerate_scene(None, alternate=True)
+    ours = detection_ap(dets, gts)
+    theirs = float(average_precision_score(y_true, y_score))
+    assert abs(ours - theirs) < 1e-9, (ours, theirs)
+
+
+def test_detection_ap_envelope_dominates_sklearn():
+    from sklearn.metrics import average_precision_score
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        dets, gts, y_true, y_score = _degenerate_scene(rng)
+        ours = detection_ap(dets, gts)
+        theirs = float(average_precision_score(y_true, y_score))
+        # all-point interpolation uses the monotone precision envelope:
+        # always >= the raw step AP, never > 1
+        assert theirs - 1e-12 <= ours <= 1.0 + 1e-12, (seed, ours, theirs)
+        # with no false positives both protocols give exactly 1
+        clean = [d for d, t in zip(sorted(dets, key=lambda d: -d[2]),
+                                   y_true) if t]
+        assert detection_ap(clean, gts) == 1.0
+
+
+def test_detection_ap_hand_computed_3box_scenes():
+    from sklearn.metrics import average_precision_score
+    gt = [("a", np.array([0.0, 0, 5, 5])), ("a", np.array([20.0, 0, 25, 5]))]
+    # TP@.9, FP@.8, TP@.7 -> recall .5 @ P=1, recall 1 @ P=2/3
+    dets = [("a", np.array([0.0, 0, 5, 5]), 0.9),
+            ("a", np.array([900.0, 0, 905, 5]), 0.8),
+            ("a", np.array([20.0, 0, 25, 5]), 0.7)]
+    assert abs(detection_ap(dets, gt) - 5 / 6) < 1e-12
+    # FP@.9, TP@.8, TP@.7 -> raw TP precisions (1/2, 2/3); the envelope
+    # lifts the first to 2/3, so interpolated AP = 2/3 while sklearn's
+    # non-interpolated AP is 7/12 — pins the protocol choice explicitly.
+    dets = [("a", np.array([900.0, 0, 905, 5]), 0.9),
+            ("a", np.array([0.0, 0, 5, 5]), 0.8),
+            ("a", np.array([20.0, 0, 25, 5]), 0.7)]
+    assert abs(detection_ap(dets, gt) - 2 / 3) < 1e-12
+    assert abs(float(average_precision_score([0, 1, 1], [0.9, 0.8, 0.7]))
+               - 7 / 12) < 1e-12
