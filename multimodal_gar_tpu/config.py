@@ -216,6 +216,9 @@ class TrainConfig:
     save_path: str = "checkpoints"
     eval_every_epochs: int = 1
     log_every_steps: int = 8
+    num_workers: int = 0                 # decode processes (reference
+    # train_func.py:506 uses 4); 0 = single producer thread. Size so that
+    # host clips/s >= device clips/s (tools/bench_host_pipeline.py).
 
 
 @dataclass

@@ -76,12 +76,24 @@ class JRDBActDataset:
             voxel_size=pc.voxel.voxel_size, point_cloud_range=pc.range,
             max_points_per_voxel=pc.voxel.max_points_per_voxel,
             max_voxels=pc.voxel.max_voxels(training))
-        self._rng = np.random.default_rng(1994)
+        # Sample RNG is derived per call from (seed, epoch, index) — NOT a
+        # shared stream — so dataset[i] is a pure function of (epoch, i).
+        # This is what makes the multi-process decode pool byte-identical to
+        # the serial path regardless of worker assignment, and makes resumed
+        # runs see the same augmentation draws as uninterrupted ones.
+        self.rng_seed = 1994
+        self.epoch = 0
         # sparse-conv rulebook caps (host-built index maps; see data/rulebook.py)
         self.rulebook_caps = rulebook_caps
 
     def __len__(self) -> int:
         return len(self.frames)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-seed per-sample augmentation RNG (DistributedSampler.set_epoch
+        analogue). DataPipeline calls this; decode workers receive the epoch
+        with each task so forked copies stay in sync."""
+        self.epoch = int(epoch)
 
     # ------------------------------------------------------------------
     def clip_frame_ids(self, src_fid: int) -> List[int]:
@@ -170,12 +182,13 @@ class JRDBActDataset:
         # --- point cloud: key frame only, loaded once ---
         pc_path = os.path.join(self.pc_root, self.seq_names[sid],
                                f"{src_fid:06d}.pcd")
+        rng = np.random.default_rng((self.rng_seed, self.epoch, index))
         pc = load_dual_velodyne(pc_path,
                                 num_features=cfg.point_cloud.num_point_features,
                                 num_points=cfg.point_cloud.num_points,
-                                rng=self._rng, calibs=self.velodyne_calibs)
+                                rng=rng, calibs=self.velodyne_calibs)
         if self.training and cfg.point_cloud.shuffle_train:
-            self._rng.shuffle(pc)
+            rng.shuffle(pc)
         vox = self.voxelizer(pc)
         voxels, coords, nump, vvalid = pad_voxels(
             vox, self.voxelizer.max_voxels,

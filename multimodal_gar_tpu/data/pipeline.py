@@ -23,7 +23,8 @@ class DataPipeline:
                  shuffle: bool = True, seed: int = 2023,
                  shard_index: int = 0, shard_count: int = 1,
                  drop_last: bool = True, prefetch: int = 2,
-                 with_eig: bool = False, eig_max_vecs: int = 16):
+                 with_eig: bool = False, eig_max_vecs: int = 16,
+                 num_workers: int = 0, mp_context: str = "fork"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,8 +37,32 @@ class DataPipeline:
         # synchronously in the step loop (reference-free; SURVEY.md §7.2.4)
         self.with_eig = with_eig
         self.eig_max_vecs = eig_max_vecs
+        # num_workers>0: decode in OS processes (reference DataLoader
+        # num_workers=4, train_func.py:505-507) — the thread producer is
+        # GIL-capped at ~1 core of decode
+        self.num_workers = num_workers
+        self.mp_context = mp_context
+        self._pool = None
+        if num_workers > 0:
+            # fork workers EAGERLY from the constructing (usually main)
+            # thread: the fewer live threads at fork time, the fewer
+            # runtime locks a child can inherit in a held state
+            self._get_pool()
 
-    def _make_batch(self, indices) -> Batch:
+    def _get_pool(self):
+        if self._pool is None:
+            from .decode_pool import ProcessDecodePool
+            self._pool = ProcessDecodePool(self.dataset, self.num_workers,
+                                           mp_context=self.mp_context)
+        return self._pool
+
+    def close(self) -> None:
+        """Shut down decode workers (no-op for the serial/thread path)."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def _make_batch(self, indices, samples=None) -> Batch:
         """Collate one batch; short batches are PADDED to batch_size with
         all-invalid duplicates so every step compiles to ONE shape (the
         remainder batch otherwise triggers an XLA recompile)."""
@@ -45,8 +70,9 @@ class DataPipeline:
 
         indices = [int(i) for i in indices]
         pad = self.batch_size - len(indices)
-        samples = [self.dataset[i] for i in indices]
-        samples += [samples[-1]] * pad
+        if samples is None:
+            samples = [self.dataset[i] for i in indices]
+        samples = list(samples) + [samples[-1]] * pad
         batch = collate(samples)
         if pad:
             pv = np.array(batch.person_valid)
@@ -75,6 +101,10 @@ class DataPipeline:
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Yield collated batches for one epoch (this shard's slice)."""
+        if hasattr(self.dataset, "set_epoch"):
+            # per-(epoch, index) augmentation RNG: keeps the serial path,
+            # the decode pool, and resumed runs byte-identical
+            self.dataset.set_epoch(epoch)
         order = self._epoch_order(epoch)
         n_full = len(order) // self.batch_size
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
@@ -96,6 +126,23 @@ class DataPipeline:
                 yield self._make_batch(b)
             return
 
+        def decoded_batches():
+            """Yield (indices, samples) pairs — multi-process when
+            num_workers>0 (ordering identical to the serial path), else
+            decoded inline in the producer thread."""
+            if self.num_workers > 0:
+                pool = self._get_pool()
+                flat = [int(i) for b in my_batches for i in b]
+                stream = pool.imap(flat, epoch=epoch)
+                try:
+                    for b in my_batches:
+                        yield b, [next(stream) for _ in range(len(b))]
+                finally:
+                    stream.close()
+            else:
+                for b in my_batches:
+                    yield b, None
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -114,10 +161,10 @@ class DataPipeline:
 
         def producer():
             try:
-                for b in my_batches:
+                for b, samples in decoded_batches():
                     if stop.is_set():
                         return
-                    if not _put(self._make_batch(b)):
+                    if not _put(self._make_batch(b, samples)):
                         return
             finally:
                 _put(None)
@@ -138,3 +185,7 @@ class DataPipeline:
                     q.get_nowait()
             except queue.Empty:
                 pass
+            # serialize epochs: the abandoned producer must finish its
+            # decode-pool teardown (imap close/drain) before the next
+            # epoch's producer issues a new imap on the same pool
+            t.join(timeout=60.0)

@@ -53,11 +53,13 @@ def run_training(cfg: Config, workdir: str,
     any_eig = any(stage.loss == "L_g" for stage in cfg.train.stages)
     train_pipe = DataPipeline(train_ds, cfg.train.batch_size,
                               shuffle=cfg.train.shuffle, seed=cfg.train.seed,
-                              with_eig=any_eig)
+                              with_eig=any_eig,
+                              num_workers=cfg.train.num_workers)
     # drop_last=False + in-pipeline padding: the remainder batch is padded to
     # the full batch shape, so eval compiles exactly ONE program
     val_pipe = DataPipeline(val_ds, cfg.train.batch_size, shuffle=False,
-                            drop_last=False)
+                            drop_last=False,
+                            num_workers=cfg.train.num_workers)
 
     mesh = make_mesh(cfg.mesh) if use_mesh and jax.device_count() > 1 else None
     writer = MetricWriter(os.path.join(workdir, "logs"))
@@ -157,4 +159,6 @@ def run_training(cfg: Config, workdir: str,
 
     writer.close()
     ckpt.close()
+    train_pipe.close()
+    val_pipe.close()
     return metrics

@@ -119,8 +119,37 @@ def main():
             print(f"host pipeline ({label}): {n} clips in {dt:.2f}s = "
                   f"{n / dt:.3f} clips/s (1 CPU core, prefetch=2)",
                   flush=True)
+
+        # --- multi-process decode pool sweep (reference num_workers=4,
+        # train_func.py:506). On a 1-core host workers just timeshare, so
+        # alongside measured clips/s we report the projected N-core
+        # requirement: cores ~= device_clips_per_sec / per_core_clips_per_sec.
+        worker_counts = [2, 4]
+        for a in sys.argv[1:]:
+            if a.startswith("--workers="):
+                worker_counts = [int(x) for x in a.split("=")[1].split(",")]
+        pool_results = {}
+        for w in worker_counts:
+            wpipe = DataPipeline(ds, batch_size=1, shuffle=False, prefetch=2,
+                                 with_eig=True, num_workers=w)
+            try:
+                n = 0
+                t0 = time.perf_counter()
+                for batch in wpipe.epoch(1):
+                    n += int(np.asarray(batch.person_valid).shape[0])
+                dt = time.perf_counter() - t0
+                pool_results[str(w)] = round(n / dt, 4)
+                print(f"host pipeline (pool workers={w}): {n} clips in "
+                      f"{dt:.2f}s = {n / dt:.3f} clips/s", flush=True)
+            finally:
+                wpipe.close()
+        per_core = results["warm_fs_cache"]
         print(json.dumps({
             "host_clips_per_sec": round(results["warm_fs_cache"], 4),
+            "pool_clips_per_sec": pool_results,
+            "per_core_clips_per_sec": round(per_core, 4),
+            "cores_needed_for_device_rate":
+                {str(d): round(d / per_core, 1) for d in (13.45, 16.0, 20.0)},
             "full_res": full,
             "stage_breakdown_s": {k: round(v, 3) for k, v in stages.items()},
         }))
