@@ -161,6 +161,10 @@ class LiDARBackboneConfig:
     # maps the host rulebook emits (data/rulebook.py). Requires the host
     # rulebook; falls back to the nbr/down maps when they are absent.
     x_window: bool = True
+    # fuse the x-window gather + tap GEMM of every submanifold layer into
+    # one Pallas kernel (ops/pallas/window_conv.py: full-table
+    # tpu.dynamic_gather per window slot, f32 eval path only).
+    x_window_fused: bool = False
 
 
 @dataclass

@@ -67,6 +67,7 @@ class LiDARBackbone(nn.Module):
             max_voxels_per_stage=self.cfg.max_voxels_per_stage,
             dtype=self.dtype,
             x_window=getattr(self.cfg, "x_window", False),
+            x_window_fused=getattr(self.cfg, "x_window_fused", False),
             name="backbone3d")(st, train, rulebook)
 
         # shared FC is only consumed when the self-attention head is off

@@ -101,6 +101,10 @@ class SubMConv3d(nn.Module):
     kernel_size: int = 3
     use_bias: bool = False
     dtype: Any = jnp.float32
+    # fuse the x-window gather + tap GEMM into one Pallas kernel
+    # (ops/pallas/window_conv.py). Eval-path f32 submanifold layers only;
+    # selected via LiDARBackboneConfig.x_window_fused.
+    fused_window: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor,
@@ -112,6 +116,18 @@ class SubMConv3d(nn.Module):
                        (k3, cin, self.out_channels))
         if window is not None:
             assert self.kernel_size == 3
+            fuse = (self.fused_window and self.dtype == jnp.float32
+                    and window.shape[1] == st.features.shape[1])
+            if fuse:
+                from ..ops.pallas.window_conv import window_conv_pallas
+                out = jax.vmap(lambda f, wn: window_conv_pallas(
+                    f.astype(jnp.float32), wn,
+                    w.astype(jnp.float32)))(st.features, window)
+                if self.use_bias:
+                    out = out + self.param("bias", nn.initializers.zeros,
+                                           (self.out_channels,))
+                out = out * st.valid[..., None].astype(out.dtype)
+                return st.replace(features=out)
             gathered = jax.vmap(window_gather)(st.features, window)
         else:
             if neighbor_idx is None:
@@ -267,6 +283,7 @@ class SparseConvBlock(nn.Module):
     kernel_size: Any = 3        # int or (kz, ky, kx); strided convs only
     max_out_voxels: int = 16000
     dtype: Any = jnp.float32
+    fused_window: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False,
@@ -275,7 +292,9 @@ class SparseConvBlock(nn.Module):
                  window: jnp.ndarray | None = None,
                  window_pre: tuple | None = None) -> SparseTensor:
         if self.conv_type == "subm":
+            # fused kernel is forward-only (no VJP defined): eval path only
             st = SubMConv3d(self.out_channels, dtype=self.dtype,
+                            fused_window=self.fused_window and not train,
                             name="conv")(st, neighbor_idx, window)
         elif self.conv_type == "spconv":
             st = SparseConv3dDown(self.out_channels,
@@ -308,6 +327,7 @@ class VoxelBackbone8x(nn.Module):
     max_voxels_per_stage: Tuple[int, int, int, int] = (16000, 16000, 8000, 4000)
     dtype: Any = jnp.float32
     x_window: bool = False
+    x_window_fused: bool = False    # fused Pallas subm-conv (eval path)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False,
@@ -351,8 +371,10 @@ class VoxelBackbone8x(nn.Module):
         # stage 1: conv_input + conv1 (subm, shared indice_key 'subm1')
         sub1 = subm_args(0, st)
         x = SparseConvBlock(16, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                             name="conv_input")(st, train, **sub1)
         x1 = SparseConvBlock(16, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                              name="conv1_0")(x, train, **sub1)
 
         # stage 2: strided down + 2 subm ('subm2')
@@ -361,8 +383,10 @@ class VoxelBackbone8x(nn.Module):
                             name="conv2_down")(x1, train, **down_args(1))
         sub2 = subm_args(1, x)
         x = SparseConvBlock(32, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                             name="conv2_1")(x, train, **sub2)
         x2 = SparseConvBlock(32, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                              name="conv2_2")(x, train, **sub2)
 
         # stage 3
@@ -371,8 +395,10 @@ class VoxelBackbone8x(nn.Module):
                             name="conv3_down")(x2, train, **down_args(2))
         sub3 = subm_args(2, x)
         x = SparseConvBlock(64, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                             name="conv3_1")(x, train, **sub3)
         x3 = SparseConvBlock(64, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                              name="conv3_2")(x, train, **sub3)
 
         # stage 4: z-padding 0 (reference spconv_backbone.py:104)
@@ -381,8 +407,10 @@ class VoxelBackbone8x(nn.Module):
                             name="conv4_down")(x3, train, **down_args(3))
         sub4 = subm_args(3, x)
         x = SparseConvBlock(64, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                             name="conv4_1")(x, train, **sub4)
         x4 = SparseConvBlock(64, "subm", dtype=self.dtype,
+                            fused_window=self.x_window_fused,
                              name="conv4_2")(x, train, **sub4)
 
         return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4}

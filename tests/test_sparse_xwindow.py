@@ -134,6 +134,35 @@ def test_backbone_xwindow_parity():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_backbone_fused_window_parity():
+    """x_window_fused (Pallas subm kernel, interpret on CPU) == XLA x-window
+    path through the full VoxelBackbone8x."""
+    from multimodal_gar_tpu.utils.testing import synthetic_batch, tiny_config
+
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, batch_size=2)
+    rb = batch.rulebook
+    nx, ny, nz = cfg.data.point_cloud.grid_size
+    feats = jnp.mean(batch.voxels, axis=2)
+    feats = feats * batch.voxel_valid[..., None].astype(feats.dtype)
+    st = SparseTensor(features=feats, coords=batch.voxel_coords,
+                      valid=batch.voxel_valid,
+                      spatial_shape=(nz + 1, ny, nx))
+    caps = cfg.model.lidar.max_voxels_per_stage
+    bb_xla = VoxelBackbone8x(caps, x_window=True)
+    bb_fused = VoxelBackbone8x(caps, x_window=True, x_window_fused=True)
+    variables = jax.jit(lambda s, r: bb_xla.init(
+        jax.random.PRNGKey(0), s, train=False, rulebook=r))(st, rb)
+    out_xla = jax.jit(lambda v, s, r: bb_xla.apply(
+        v, s, train=False, rulebook=r))(variables, st, rb)
+    out_fused = jax.jit(lambda v, s, r: bb_fused.apply(
+        v, s, train=False, rulebook=r))(variables, st, rb)
+    for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
+        np.testing.assert_allclose(np.asarray(out_xla[k].features),
+                                   np.asarray(out_fused[k].features),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_second_detector_xwindow_parity():
     """SECOND with x_window on == off (BEV scatter is order-agnostic)."""
     import dataclasses
@@ -194,7 +223,6 @@ def test_window_conv_pallas_interpret_parity():
                                    jnp.asarray(rb["win_0"])),
                      jnp.asarray(w))
     out = window_conv_pallas(jnp.asarray(fs), jnp.asarray(rb["win_0"]),
-                             jnp.asarray(w), block_rows=cap,
-                             interpret=True)
+                             jnp.asarray(w), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)

@@ -60,11 +60,13 @@ def main():
                        valid=batch.voxel_valid, spatial_shape=(nz, ny, nx))
 
     results = {}
-    for name, dt, xw in [("f32", jnp.float32, False),
-                         ("bf16", jnp.bfloat16, False),
-                         ("xwin_f32", jnp.float32, True),
-                         ("xwin_bf16", jnp.bfloat16, True)]:
-        bb = VoxelBackbone8x(max_voxels_per_stage=caps, dtype=dt, x_window=xw)
+    for name, dt, xw, fused in [("f32", jnp.float32, False, False),
+                                ("bf16", jnp.bfloat16, False, False),
+                                ("xwin_f32", jnp.float32, True, False),
+                                ("xwin_bf16", jnp.bfloat16, True, False),
+                                ("xwin_fused", jnp.float32, True, True)]:
+        bb = VoxelBackbone8x(max_voxels_per_stage=caps, dtype=dt, x_window=xw,
+                             x_window_fused=fused)
         variables = jax.jit(partial(bb.init, train=False))(
             jax.random.PRNGKey(0), st0, rulebook=batch.rulebook)
 

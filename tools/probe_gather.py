@@ -203,9 +203,101 @@ def probe_w():
     print(f"W: rel max err vs XLA: {err:.2e}", flush=True)
 
 
+def probe_e():
+    """tpu.dynamic_gather via take_along_axis — the ONLY gather shape the
+    Mosaic lowering supports (jax _gather_lowering_rule: 2D, input shape ==
+    indices shape == output shape, gather along dim 0/1). The x-window
+    submanifold conv fits it exactly (output rows == table rows), so if this
+    is fast, the fused kernel is viable; probes A/B/W used jnp.take with
+    mismatched shapes, which can never lower."""
+    rng = np.random.default_rng(0)
+    for m, width in [(16384, 32), (16384, 48), (16384, 128), (40960, 48)]:
+        def kern(tab_ref, idx_ref, o_ref):
+            idx2d = jnp.broadcast_to(idx_ref[...], tab_ref.shape)
+            o_ref[...] = jnp.take_along_axis(tab_ref[...], idx2d, axis=0)
+
+        def call(tab, idx):
+            out = pl.pallas_call(
+                kern,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m, width), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(tab, idx)
+            return jnp.sum(out.ravel()[::4097])
+
+        tab = jnp.asarray(rng.normal(size=(m, width)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, m, (m, 1)).astype(np.int32))
+        # correctness first
+        got = np.asarray(pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, width), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(tab, idx))
+        ref = np.asarray(tab)[np.asarray(idx)[:, 0]]
+        err = np.abs(got - ref).max()
+        t = timed_chain(call, 12, 2, idx)(tab)
+        print(f"E: dynamic_gather (M={m}, W={width}, "
+              f"{m*width*4>>20} MB): {t*1e3:.3f} ms  maxerr={err:.1e}",
+              flush=True)
+
+
+def probe_f():
+    """Fused 9-slot x-window conv with dynamic_gather: per slot p,
+    take_along_axis over the full (M, 3C) shifted table + 3 masked tap
+    GEMMs. Shapes chosen to mirror stage 2 at the 16k cap."""
+    m, c, d = 16384, 32, 32
+
+    def kern(wt_ref, pos_ref, sel_ref, w_ref, o_ref):
+        wt = wt_ref[...]                           # (M, 3C)
+        acc = jnp.zeros((m, d), jnp.float32)
+        for p in range(9):
+            idx2d = jnp.broadcast_to(pos_ref[:, p][:, None], wt.shape)
+            g = jnp.take_along_axis(wt, idx2d, axis=0)   # (M, 3C)
+            g3 = g.reshape(m, 3, c)
+            slot = (sel_ref[:, p][:, None] >> (2 * jnp.arange(3))) & 3
+            for wdx in range(3):
+                # tap[m, c] = g3[m, slot[m, wdx], c] via a 3-way one-hot
+                onehot = (slot[:, wdx][:, None]
+                          == jnp.arange(3)).astype(jnp.float32)   # (M, 3)
+                tap = jnp.einsum("mjc,mj->mc", g3, onehot)
+                acc += jnp.dot(tap, w_ref[p * 3 + wdx],
+                               preferred_element_type=jnp.float32)
+        o_ref[...] = acc
+
+    def call(tab, pos, sel, w):
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(tab, pos, sel, w)
+        return jnp.sum(out[:, 0])
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.normal(size=(m, 3 * c)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, m, (m, 9)).astype(np.int32))
+    sel = jnp.asarray(rng.integers(0, 64, (m, 9)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(27, c, d)).astype(np.float32) * 0.1)
+    t = timed_chain(call, 12, 2, pos, sel, w)(tab)
+    print(f"F: fused dyn-gather window conv (M={m}, C={c}, D={d}): "
+          f"{t*1e3:.3f} ms", flush=True)
+
+
 def main():
     for name, fn in [("C", probe_c), ("D", probe_d), ("A", probe_a),
-                     ("B", probe_b), ("W", probe_w)]:
+                     ("B", probe_b), ("W", probe_w), ("E", probe_e),
+                     ("F", probe_f)]:
         try:
             fn()
         except Exception as e:
