@@ -380,6 +380,14 @@ def main():
     for b in ([1] if quick else [1, 2, 4, 8]):
         sweep[str(b)] = orch.run(f"eval:{b}")
         if sweep[str(b)] is None and b > 1 and not orch.backend_down:
+            # activation narrowing first: bf16 backbone activations halve
+            # the monolithic program's residual-free peak (VERDICT r3 #5)
+            v = orch.run(f"eval:{b}:bf16")
+            if v is not None:
+                sweep[str(b)] = v
+                detail.setdefault("eval_bf16_monolithic_batches",
+                                  []).append(b)
+                continue
             # monolithic program exceeds HBM: lax.map over sub-batches
             for ch in (4, 2, 1):
                 if ch >= b:

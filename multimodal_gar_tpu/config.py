@@ -104,6 +104,9 @@ class RGBBackboneConfig:
     # eval-path (3,3,3) convs as 3 temporally-shifted native 2D convs
     # (models/i3d.py:_conv3d_t2d). Perf experiment; exact same sums.
     i3d_t2d: bool = False
+    # post-stem I3D convs in bfloat16 while keeping the f32 Pallas stem
+    # (InceptionI3d.body_dtype); features re-cast to f32 after extraction.
+    i3d_bf16_body: bool = False
 
 
 @dataclass

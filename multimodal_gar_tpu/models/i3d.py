@@ -355,10 +355,16 @@ class InceptionI3d(nn.Module):
     # eval-path (3,3,3) convs as 3 shifted native 2D convs (Unit3D.t2d)
     t2d: bool = False
     dtype: Any = jnp.float32
+    # post-stem compute dtype (None = dtype). bfloat16 here keeps the f32
+    # Pallas stem (which is f32-gated) while the ~60 post-stem convs run on
+    # the MXU's native bf16 path — the round-2 full-bf16 measurement
+    # silently lost the Pallas stem, which is why it looked like a wash.
+    body_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
+        bd = self.body_dtype if self.body_dtype is not None else d
         # train is a Python bool branching the BN-fold path; keep it static
         # under remat (argnum 2: flax prepends the module instance).
         mixed_cls = nn.remat(InceptionModule, static_argnums=(2,)) \
@@ -371,9 +377,9 @@ class InceptionI3d(nn.Module):
             elif ep == "MaxPool3d_2a_3x3":
                 x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
             elif ep == "Conv3d_2b_1x1":
-                x = Unit3D(64, (1, 1, 1), dtype=d, name=ep)(x, train)
+                x = Unit3D(64, (1, 1, 1), dtype=bd, name=ep)(x, train)
             elif ep == "Conv3d_2c_3x3":
-                x = Unit3D(192, (3, 3, 3), t2d=self.t2d, dtype=d,
+                x = Unit3D(192, (3, 3, 3), t2d=self.t2d, dtype=bd,
                            name=ep)(x, train)
             elif ep == "MaxPool3d_3a_3x3":
                 x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
@@ -382,7 +388,7 @@ class InceptionI3d(nn.Module):
             elif ep == "MaxPool3d_5a_2x2":
                 x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
             else:
-                x = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d, dtype=d,
+                x = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d, dtype=bd,
                               name=ep)(x, train)
             if ep == self.final_endpoint:
                 return x

@@ -49,12 +49,15 @@ class RGBBackbone(nn.Module):
         if valid is None:
             valid = jnp.any(boxes != 0, axis=-1)
 
+        bf16_body = getattr(self.cfg, "i3d_bf16_body", False)
         feats = InceptionI3d(final_endpoint=self.cfg.i3d_endpoint,
                              pallas_stem=self.cfg.pallas_stem,
                              remat=self.cfg.i3d_remat,
                              t2d=getattr(self.cfg, "i3d_t2d", False),
+                             body_dtype=jnp.bfloat16 if bf16_body else None,
                              dtype=self.dtype, name="i3d")(
             images, train=train and not self.cfg.i3d_freeze)
+        feats = feats.astype(self.dtype)
         if self.cfg.i3d_freeze:
             feats = jax.lax.stop_gradient(feats)
 

@@ -144,16 +144,19 @@ def test_round3_perf_flag_variants_run():
     base = tiny_config()
     batch = synthetic_batch(base, batch_size=1)
 
-    def patch(x_window, t2d, pool_approx):
+    def patch(x_window, t2d, pool_approx, fused=False, bf16_body=False):
         model = dataclasses.replace(
             base.model,
             lidar=dataclasses.replace(base.model.lidar, x_window=x_window,
+                                      x_window_fused=fused,
                                       pool_approx_nsample=pool_approx),
-            rgb=dataclasses.replace(base.model.rgb, i3d_t2d=t2d))
+            rgb=dataclasses.replace(base.model.rgb, i3d_t2d=t2d,
+                                    i3d_bf16_body=bf16_body))
         return dataclasses.replace(base, model=model)
 
     for cfg in [patch(False, False, False), patch(True, True, False),
-                patch(True, False, True)]:
+                patch(True, False, True),
+                patch(True, False, False, fused=True, bf16_body=True)]:
         model = MGAR(cfg)
         variables = jax.jit(partial(model.init, train=False))(
             jax.random.PRNGKey(0), batch)

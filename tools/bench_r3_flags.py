@@ -25,13 +25,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import bench
 
 
-def patch(x_window: bool, t2d: bool, pool_approx: bool = False):
+def patch(x_window: bool, t2d: bool, pool_approx: bool = False,
+          fused: bool = False, bf16_body: bool = False):
     def p(cfg):
         model = dataclasses.replace(
             cfg.model,
             lidar=dataclasses.replace(cfg.model.lidar, x_window=x_window,
+                                      x_window_fused=fused,
                                       pool_approx_nsample=pool_approx),
-            rgb=dataclasses.replace(cfg.model.rgb, i3d_t2d=t2d))
+            rgb=dataclasses.replace(cfg.model.rgb, i3d_t2d=t2d,
+                                    i3d_bf16_body=bf16_body))
         return dataclasses.replace(cfg, model=model)
     return p
 
@@ -42,6 +45,9 @@ VARIANTS = {
     "t2d": patch(False, True),
     "xwin+t2d": patch(True, True),
     "xwin+poolapprox": patch(True, False, pool_approx=True),
+    "xwin+fused": patch(True, False, fused=True),
+    "xwin+bf16body": patch(True, False, bf16_body=True),
+    "xwin+fused+bf16body": patch(True, False, fused=True, bf16_body=True),
 }
 
 
