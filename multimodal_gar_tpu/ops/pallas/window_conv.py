@@ -20,6 +20,16 @@ The earlier formulation (jnp.take with R*9 flat indices, round-3) can never
 lower — Mosaic rejects mismatched gather shapes ("Shape mismatch in input,
 indices and output", observed on hardware round 4).
 
+HARDWARE STATUS (round 4, measured): this image's Mosaic toolchain CRASHES
+(tpu_compile_helper exit 1) on tpu.dynamic_gather beyond one tile — axis-0
+gathers compile only at m==8 (one sublane tile) and axis-1 only at exactly
+128 lanes with small m (tools/probe_gather.py probe E; standalone shape
+sweep in docs/ROUND4_NOTES.md). A cross-row gather over a 16k-row VMEM
+table is therefore uncompilable here, so ``x_window_fused`` stays
+default-off and the XLA x-window path (1.57x end-to-end, measured) remains
+production. The kernel is interpret-validated and parity-tested for when
+the toolchain catches up.
+
 Reference semantics: spconv SubMConv3d (pcdet spconv_backbone.py:12-27).
 Parity: tests/test_sparse_xwindow.py (interpret mode + vs window_gather).
 """

@@ -45,14 +45,19 @@ VARIANTS = {
     "t2d": patch(False, True),
     "xwin+t2d": patch(True, True),
     "xwin+poolapprox": patch(True, False, pool_approx=True),
-    "xwin+fused": patch(True, False, fused=True),
     "xwin+bf16body": patch(True, False, bf16_body=True),
-    "xwin+fused+bf16body": patch(True, False, fused=True, bf16_body=True),
+    "xwin+poolapprox+bf16body": patch(True, False, pool_approx=True,
+                                      bf16_body=True),
+    # fused kernel: uncompilable on this image's Mosaic (dynamic_gather
+    # crashes the compile helper beyond one tile — see window_conv.py).
+    # Not in the default sweep; invoke by name when the toolchain updates.
+    "xwin+fused": patch(True, False, fused=True),
 }
+DEFAULT_SWEEP = [n for n in VARIANTS if "fused" not in n]
 
 
 def main():
-    names = sys.argv[1:] or list(VARIANTS)
+    names = sys.argv[1:] or DEFAULT_SWEEP
     results = {}
     for name in names:
         try:

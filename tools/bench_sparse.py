@@ -67,23 +67,31 @@ def main():
                                 ("xwin_fused", jnp.float32, True, True)]:
         bb = VoxelBackbone8x(max_voxels_per_stage=caps, dtype=dt, x_window=xw,
                              x_window_fused=fused)
-        variables = jax.jit(partial(bb.init, train=False))(
-            jax.random.PRNGKey(0), st0, rulebook=batch.rulebook)
-
-        def fn(args, bb=bb, variables=variables):
-            st, rb = args
-            ms = bb.apply(variables, st, train=False, rulebook=rb)
-            return sum(jnp.sum(v.features).astype(jnp.float32)
-                       for v in ms.values())
 
         def perturb(args, z):
             st, rb = args
             return (st.replace(features=st.features + z.astype(
                 st.features.dtype)), rb)
 
-        t = timed_chain(fn, perturb, (st0, batch.rulebook))
-        results[f"backbone_{name}"] = t
-        print(f"backbone full ({name}): {t * 1e3:.2f} ms", flush=True)
+        try:
+            variables = jax.jit(partial(bb.init, train=False))(
+                jax.random.PRNGKey(0), st0, rulebook=batch.rulebook)
+
+            def fn(args, bb=bb, variables=variables):
+                st, rb = args
+                ms = bb.apply(variables, st, train=False, rulebook=rb)
+                return sum(jnp.sum(v.features).astype(jnp.float32)
+                           for v in ms.values())
+
+            t = timed_chain(fn, perturb, (st0, batch.rulebook))
+            results[f"backbone_{name}"] = t
+            print(f"backbone full ({name}): {t * 1e3:.2f} ms", flush=True)
+        except Exception as e:
+            # fused path: uncompilable on this image's Mosaic (see
+            # ops/pallas/window_conv.py hardware status)
+            results[f"backbone_{name}"] = None
+            print(f"backbone full ({name}) FAILED: "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
     # gather-only: every layer's neighbor gather at its true (M, C) shape,
     # reduced by sum — no GEMMs
