@@ -29,9 +29,13 @@ lane-friendly layout that bisection pointed to:
   - the f32 x f32 product runs as a MANUAL 3-pass bf16 split
     (hi/lo error-compensated: a_hi p_hi + a_hi p_lo + a_lo p_hi, f32
     accumulation). Mosaic's f32 dot is a 6-pass emulation and rejects
-    Precision.HIGH; the explicit split halves MXU time at ~1e-5 relative
-    error — two decades inside the 1e-3 parity budget. Inputs are
-    pre-split host-side so the kernel never touches f32 activations;
+    Precision.HIGH; the explicit split halves MXU time. Designed/interpret
+    accuracy is ~1e-5 relative, but measured on hardware (v5e, 2026-08-18)
+    the kernel lands at 1.62e-3 — 1xbf16-class, i.e. this image's Mosaic
+    is not preserving the compensation products' contribution (XLA HIGH on
+    the same chip reaches 1.3e-5). Same class as XLA DEFAULT precision
+    (2.2e-3), so the eval path remains within bf16 tolerance; revisit when
+    the toolchain updates (tools/bench_stem.py prints the parity table);
   - optional fused affine+ReLU epilogue (folded inference BatchNorm).
 
 K = 4 * 7 * 5 * 16 = 2240, dj-major (vs 1344 real taps: x1.25 from the
@@ -225,7 +229,8 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
 
     Matches jax.lax.conv_general_dilated(xd, w2, (2, 1, 1),
     [(3, 3), (0, 0), (0, 0)]) (models/i3d.py:_stem_conv_s2d tail) to ~1e-5
-    relative error (3-pass bf16 split, see module docstring); when
+    relative error in interpret mode (1.6e-3 measured on this image's
+    Mosaic — see module docstring); when
     ``scale``/``bias`` are given the folded inference BatchNorm + ReLU
     epilogue runs inside the kernel (relu(conv * scale + bias)).
     """
