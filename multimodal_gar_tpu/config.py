@@ -158,7 +158,9 @@ class LiDARBackboneConfig:
     # approx_max_k for the grid pool's first-nsample neighbor selection
     # (recall ~0.99) instead of the exact top_k over (N*G3, cull_k) —
     # the same approximation voxel_query uses by default; False = exact.
-    pool_approx_nsample: bool = False
+    # Default True: the round-4 hardware flag sweep picked xwin+poolapprox
+    # as the fastest combination (docs/ROUND4_NOTES.md).
+    pool_approx_nsample: bool = True
     # x-window sparse-conv gathers (sparse_backbone.window_gather): 9 wide
     # window gathers per query instead of 27 row gathers, using the packed
     # maps the host rulebook emits (data/rulebook.py). Requires the host

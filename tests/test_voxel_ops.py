@@ -172,7 +172,10 @@ def test_roi_grid_pool_cull_matches_dense(rng):
         pool_layers=(
             PoolLayerConfig("x_conv2", (8, 8), (2, 2, 2), 0.6, 8),
             PoolLayerConfig("x_conv3", (8, 8), (2, 2, 2), 1.2, 8)),
-        max_voxels_per_stage=(256, 128, 64, 32))
+        max_voxels_per_stage=(256, 128, 64, 32),
+        # exact selection on both paths: this test asserts cull == dense
+        # bitwise; approx_max_k (the perf default) is only ~0.99 recall
+        pool_approx_nsample=False)
     nx, ny, nz = pc.grid_size
 
     ms = {}

@@ -26,7 +26,8 @@ import bench
 
 
 def patch(x_window: bool, t2d: bool, pool_approx: bool = False,
-          fused: bool = False, bf16_body: bool = False):
+          fused: bool = False, bf16_body: bool = False,
+          pallas_stem: bool = True):
     def p(cfg):
         model = dataclasses.replace(
             cfg.model,
@@ -34,7 +35,8 @@ def patch(x_window: bool, t2d: bool, pool_approx: bool = False,
                                       x_window_fused=fused,
                                       pool_approx_nsample=pool_approx),
             rgb=dataclasses.replace(cfg.model.rgb, i3d_t2d=t2d,
-                                    i3d_bf16_body=bf16_body))
+                                    i3d_bf16_body=bf16_body,
+                                    pallas_stem=pallas_stem))
         return dataclasses.replace(cfg, model=model)
     return p
 
@@ -45,6 +47,11 @@ VARIANTS = {
     "t2d": patch(False, True),
     "xwin+t2d": patch(True, True),
     "xwin+poolapprox": patch(True, False, pool_approx=True),
+    # round-4 stem-timing finding: on this Mosaic toolchain the Pallas stem
+    # is slower than XLA's DEFAULT-precision conv (25.8 vs 21.0 ms) AND no
+    # more accurate (both 1xbf16-class) — measure the kernel OFF
+    "xwin+poolapprox+nostem": patch(True, False, pool_approx=True,
+                                    pallas_stem=False),
     "xwin+bf16body": patch(True, False, bf16_body=True),
     "xwin+poolapprox+bf16body": patch(True, False, pool_approx=True,
                                       bf16_body=True),

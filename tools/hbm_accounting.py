@@ -57,13 +57,22 @@ def analyze(batch_size: int, dtype: str):
 def main():
     batches = [1, 2, 4, 8]
     dtypes = ["float32", "bfloat16"]
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--dtypes"):
-            names = a.split("=")[1].split(",")
+            # accept both --dtypes=f32,bf16 and --dtypes f32,bf16
+            if "=" in a:
+                spec = a.split("=", 1)[1]
+            else:
+                i += 1
+                spec = argv[i]
             dtypes = [{"f32": "float32", "bf16": "bfloat16"}.get(n, n)
-                      for n in names]
+                      for n in spec.split(",")]
         elif not a.startswith("--"):
             batches = [int(x) for x in a.split(",")]
+        i += 1
     rows = [analyze(b, d) for d in dtypes for b in batches]
     print("SUMMARY " + json.dumps(rows))
 
