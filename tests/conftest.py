@@ -14,7 +14,17 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# MGAR_TEST_CACHE overrides the cache location. The persistent cache is keyed
+# by program, NOT by host CPU features: executables AOT-compiled on a
+# different machine deserialize here with a "Target machine feature ... not
+# supported" warning and subtly different codegen — which can make a cached
+# program and a freshly compiled one numerically different at the ulp level
+# (observed: deterministic 2e-3 Adam-step divergence in the multichip
+# agreement test when one side hit a stale cross-machine cache). Point this
+# somewhere fresh when numerics matter more than compile time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MGAR_TEST_CACHE",
+                                 "/root/.cache/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
