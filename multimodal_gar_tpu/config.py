@@ -107,6 +107,12 @@ class RGBBackboneConfig:
     # post-stem I3D convs in bfloat16 while keeping the f32 Pallas stem
     # (InceptionI3d.body_dtype); features re-cast to f32 after extraction.
     i3d_bf16_body: bool = False
+    # temporal-cone culling of the Mixed_4x modules to the backward cone of
+    # Mixed_4f's center slice — the only slice the model consumes
+    # (gat_model.py:1050). Exact (value-identical features); Mixed_4f runs
+    # 1/4 of its temporal positions at the flagship T=15. Default flips on
+    # once the on-chip A/B lands (lever-table convention).
+    i3d_center_slice: bool = False
 
 
 @dataclass

@@ -191,6 +191,11 @@ class Unit3D(nn.Module):
     eval-mode stem additionally runs as a Pallas im2col-GEMM kernel with the
     inference BatchNorm + ReLU folded into its epilogue
     (ops/pallas/stem_conv.py) unless ``pallas_stem`` is False.
+
+    ``t_pad``: explicit temporal padding for the temporal-cone-culled path
+    (InceptionI3d.center_slice) — the (3,3,3)/stride-1 conv pads (pl, pr)
+    zeros on T instead of SAME, producing input_T - 2 + pl + pr outputs.
+    SAME on H/W is unchanged.
     """
     out_channels: int
     kernel: Tuple[int, int, int] = (1, 1, 1)
@@ -200,6 +205,7 @@ class Unit3D(nn.Module):
     activation: bool = True
     s2d_stem: bool = False
     pallas_stem: bool = True
+    t_pad: Tuple[int, int] | None = None
     # eval-path (3,3,3)/stride-1 convs as 3 temporally-shifted NATIVE 2D
     # convs summed (T folded into batch): exact same sums, but each conv
     # maps onto the TPU's native 2D convolution path instead of XLA's 3D
@@ -210,6 +216,14 @@ class Unit3D(nn.Module):
     # weak #8). Variable tree is unchanged (bn stats still live at bn/*).
     fold_bn: bool = True
     dtype: Any = jnp.float32
+
+    def _padding(self):
+        """SAME, or explicit ((pl, pr), (1, 1), (1, 1)) in t_pad mode."""
+        if self.t_pad is None:
+            return "SAME"
+        assert self.kernel == (3, 3, 3) and self.stride == (1, 1, 1), (
+            "t_pad is only defined for the (3,3,3)/stride-1 convs", self.kernel)
+        return (tuple(self.t_pad), (1, 1), (1, 1))
 
     def _bn_affine(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(scale, bias) of the inference BatchNorm, creating the bn
@@ -258,16 +272,16 @@ class Unit3D(nn.Module):
                 name="conv3d")()
             kf = (kernel * s).astype(self.dtype)
             if (self.t2d and self.kernel == (3, 3, 3)
-                    and self.stride == (1, 1, 1)):
+                    and self.stride == (1, 1, 1) and self.t_pad is None):
                 x = _conv3d_t2d(x.astype(self.dtype), kf)
             else:
                 x = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), kf,
-                    window_strides=self.stride, padding="SAME",
+                    window_strides=self.stride, padding=self._padding(),
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         else:
             x = nn.Conv(self.out_channels, self.kernel, strides=self.stride,
-                        padding="SAME", use_bias=self.use_bias,
+                        padding=self._padding(), use_bias=self.use_bias,
                         dtype=self.dtype, name="conv3d")(x)
         if fold:
             x = x + b.astype(x.dtype)
@@ -292,34 +306,58 @@ class Unit3D(nn.Module):
 
 
 def max_pool_same(x: jnp.ndarray, window: Tuple[int, int, int],
-                  strides: Tuple[int, int, int]) -> jnp.ndarray:
+                  strides: Tuple[int, int, int],
+                  t_pad: Tuple[int, int] | None = None) -> jnp.ndarray:
     """3D max pool with TF-SAME padding over (T, H, W) of an NDHWC tensor.
 
     Kept as ONE fused reduce_window: a per-axis separable decomposition was
     tried (exact, and 6x faster in isolation) but regressed the full model
     10.5 -> 8.2 clips/s — XLA fuses the single window into neighbors while
     the 3-pass version materializes intermediates in HBM.
+
+    ``t_pad``: explicit (pl, pr) temporal padding (reduce_window pads with
+    -inf, identical to SAME's edge behavior) for the temporal-cone-culled
+    path; H/W stay SAME.
     """
+    if t_pad is not None:
+        assert window == (3, 3, 3) and strides == (1, 1, 1)
+        return nn.max_pool(x, window_shape=window, strides=strides,
+                           padding=(tuple(t_pad), (1, 1), (1, 1)))
     return nn.max_pool(x, window_shape=window, strides=strides, padding="SAME")
 
 
 class InceptionModule(nn.Module):
-    """Four-branch inception block (reference backbone.py:210-235)."""
+    """Four-branch inception block (reference backbone.py:210-235).
+
+    ``t_pad`` (temporal-cone mode): the input covers exactly the temporal
+    backward cone [lo-1+pl, hi+1-pr) of the needed output interval [lo, hi);
+    the 3x3x3 branches pad (pl, pr) zeros on T (pl=1 iff lo==0, pr=1 iff
+    hi==T — exactly where TF-SAME would pad), and the 1x1 branches slice to
+    the center so all four branches emit [lo, hi). Output values are
+    position-for-position identical to the SAME-mode module.
+    """
     out_channels: Sequence[int]    # [b0, b1a, b1b, b2a, b2b, b3b]
     t2d: bool = False
+    t_pad: Tuple[int, int] | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         oc = self.out_channels
-        b0 = Unit3D(oc[0], (1, 1, 1), dtype=self.dtype, name="b0")(x, train)
+        tp = self.t_pad
+        if tp is None:
+            xc = x
+        else:
+            pl, pr = tp
+            xc = x[:, (1 - pl):(x.shape[1] - (1 - pr))]
+        b0 = Unit3D(oc[0], (1, 1, 1), dtype=self.dtype, name="b0")(xc, train)
         b1 = Unit3D(oc[1], (1, 1, 1), dtype=self.dtype, name="b1a")(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), t2d=self.t2d, dtype=self.dtype,
-                    name="b1b")(b1, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), t2d=self.t2d, t_pad=tp,
+                    dtype=self.dtype, name="b1b")(b1, train)
         b2 = Unit3D(oc[3], (1, 1, 1), dtype=self.dtype, name="b2a")(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), t2d=self.t2d, dtype=self.dtype,
-                    name="b2b")(b2, train)
-        b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b2 = Unit3D(oc[4], (3, 3, 3), t2d=self.t2d, t_pad=tp,
+                    dtype=self.dtype, name="b2b")(b2, train)
+        b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1), t_pad=tp)
         b3 = Unit3D(oc[5], (1, 1, 1), dtype=self.dtype, name="b3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -352,6 +390,14 @@ class InceptionI3d(nn.Module):
     # (jax.checkpoint): trades recompute FLOPs for activation HBM, enabling
     # larger per-chip train batches (VERDICT r2 weak #2).
     remat: bool = False
+    # temporal-cone culling: the model consumes ONLY the center time slice of
+    # Mixed_4f (reference gat_model.py:1050); with center_slice=True each
+    # Mixed_4x module computes only the temporal positions inside the
+    # backward cone of that slice (exact dead-code elimination XLA cannot do
+    # through conv windows — at flagship T=15/T4=4, Mixed_4f computes 1/4 of
+    # its positions and Mixed_4e 3/4). Output is (B, 1, H', W', C'), value-
+    # identical to full_output[:, T4 // 2]. Only defined for Mixed_4f.
+    center_slice: bool = False
     # eval-path (3,3,3) convs as 3 shifted native 2D convs (Unit3D.t2d)
     t2d: bool = False
     dtype: Any = jnp.float32
@@ -361,10 +407,41 @@ class InceptionI3d(nn.Module):
     # silently lost the Pallas stem, which is why it looked like a wash.
     body_dtype: Any = None
 
+    @staticmethod
+    def _center_plan(t_in: int):
+        """Backward temporal cone of Mixed_4f's center slice.
+
+        Returns (plan, entry): plan maps each Mixed_4x endpoint to the
+        ``t_pad`` its InceptionModule runs with (None = uncull, plain SAME),
+        entry is the [lo, hi) slice of the MaxPool3d_4a output that the first
+        module consumes. Intervals nest exactly — each module's planned input
+        interval equals the previous module's planned output interval — so
+        the forward just threads the sliced tensor through. All arithmetic is
+        static (Python ints), so the culled model traces to fixed shapes.
+        """
+        t1 = -(-t_in // 2)          # after the stride-2 stem (SAME)
+        t4 = -(-t1 // 2)            # after MaxPool3d_4a (stride 2, SAME)
+        lo, hi = t4 // 2, t4 // 2 + 1
+        plan = {}
+        for ep in ("Mixed_4f", "Mixed_4e", "Mixed_4d", "Mixed_4c",
+                   "Mixed_4b"):
+            pl = 1 if lo == 0 else 0
+            pr = 1 if hi == t4 else 0
+            # (1,1) pads <=> the full output interval is needed <=> SAME
+            plan[ep] = None if (pl, pr) == (1, 1) else (pl, pr)
+            lo, hi = max(lo - 1, 0), min(hi + 1, t4)
+        return plan, (lo, hi)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         bd = self.body_dtype if self.body_dtype is not None else d
+        plan, entry = None, None
+        if self.center_slice:
+            assert self.final_endpoint == "Mixed_4f", (
+                "center_slice is only defined for Mixed_4f",
+                self.final_endpoint)
+            plan, entry = self._center_plan(x.shape[1])
         # train is a Python bool branching the BN-fold path; keep it static
         # under remat (argnum 2: flax prepends the module instance).
         mixed_cls = nn.remat(InceptionModule, static_argnums=(2,)) \
@@ -385,11 +462,14 @@ class InceptionI3d(nn.Module):
                 x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
             elif ep == "MaxPool3d_4a_3x3":
                 x = max_pool_same(x, (3, 3, 3), (2, 2, 2))
+                if entry is not None:
+                    x = x[:, entry[0]:entry[1]]
             elif ep == "MaxPool3d_5a_2x2":
                 x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
             else:
-                x = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d, dtype=bd,
-                              name=ep)(x, train)
+                tp = plan.get(ep) if plan is not None else None
+                x = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d, t_pad=tp,
+                              dtype=bd, name=ep)(x, train)
             if ep == self.final_endpoint:
                 return x
         raise ValueError(f"unknown endpoint {self.final_endpoint}")

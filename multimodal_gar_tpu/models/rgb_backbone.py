@@ -50,13 +50,19 @@ class RGBBackbone(nn.Module):
             valid = jnp.any(boxes != 0, axis=-1)
 
         bf16_body = getattr(self.cfg, "i3d_bf16_body", False)
+        i3d_train = train and not self.cfg.i3d_freeze
+        # cone culling is exact only when BN uses running stats: train-mode
+        # BN would compute batch statistics over the culled temporal extent
+        center = (getattr(self.cfg, "i3d_center_slice", False)
+                  and self.cfg.i3d_endpoint == "Mixed_4f" and not i3d_train)
         feats = InceptionI3d(final_endpoint=self.cfg.i3d_endpoint,
                              pallas_stem=self.cfg.pallas_stem,
                              remat=self.cfg.i3d_remat,
                              t2d=getattr(self.cfg, "i3d_t2d", False),
                              body_dtype=jnp.bfloat16 if bf16_body else None,
+                             center_slice=center,
                              dtype=self.dtype, name="i3d")(
-            images, train=train and not self.cfg.i3d_freeze)
+            images, train=i3d_train)
         feats = feats.astype(self.dtype)
         if self.cfg.i3d_freeze:
             feats = jax.lax.stop_gradient(feats)

@@ -404,3 +404,25 @@ def test_i3d_full_forward_matches_torch_replica():
 
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_center_slice_matches_full_center():
+    """Temporal-cone culling (InceptionI3d.center_slice) is exact: its single
+    output slice equals full_output[:, T4 // 2] (the slice the model consumes,
+    reference gat_model.py:1050) to f32 rounding (measured 4e-8 max — XLA
+    schedules the shorter-T convs differently, so not bitwise). Covers T4=4
+    (flagship 15-frame regime: Mixed_4f culled to 1/4, Mixed_4e to 3/4) and
+    T4=5 (interior cone on both sides)."""
+    rng = np.random.default_rng(7)
+    full = InceptionI3d(final_endpoint="Mixed_4f")
+    culled = InceptionI3d(final_endpoint="Mixed_4f", center_slice=True)
+    for t in (15, 17):
+        x = jnp.asarray(rng.normal(size=(1, t, 32, 48, 3)).astype(np.float32))
+        v = jax.jit(partial(full.init, train=False))(jax.random.PRNGKey(1), x)
+        out_full = jax.jit(partial(full.apply, train=False))(v, x)
+        out_cull = jax.jit(partial(culled.apply, train=False))(v, x)
+        t4 = out_full.shape[1]
+        assert out_cull.shape == (1, 1) + out_full.shape[2:]
+        np.testing.assert_allclose(np.asarray(out_cull[:, 0]),
+                                   np.asarray(out_full[:, t4 // 2]),
+                                   rtol=1e-5, atol=1e-6)

@@ -226,3 +226,63 @@ def test_window_conv_pallas_interpret_parity():
                              jnp.asarray(w), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_window_conv_band_interpret_parity():
+    """Scalar-prefetch band kernel == window_gather + einsum (interpret).
+
+    Covers: band DMA at dynamic starts, one-hot MXU gather, slot select,
+    multi-block grids (qb < rows), and the device-side violation counter
+    (0 under the spread contract)."""
+    from multimodal_gar_tpu.ops.pallas.window_conv import (band_spread_ok,
+                                                           window_conv_band)
+
+    rng = np.random.default_rng(5)
+    shape = (6, 10, 12)
+    coords = _dense_coords(shape, rng, drop=0.5)
+    n = len(coords)
+    cap = ((n + 8 + 7) // 8) * 8
+    coords_p = np.concatenate(
+        [coords, np.full((cap - n, 3), -1, np.int32)])
+    rb = build_rulebook(coords_p, n, shape, (cap, cap, cap, cap),
+                        x_window=True)
+    c, d = 8, 16
+    feats = rng.normal(size=(cap, c)).astype(np.float32)
+    fs = feats[rb["order_0"]]
+    w = rng.normal(size=(27, c, d)).astype(np.float32) * 0.1
+    win = jnp.asarray(rb["win_0"])
+
+    band = 128
+    assert band_spread_ok(rb["win_0"], band=band, qb=64)
+    ref = jnp.einsum("rkc,kcd->rd",
+                     window_gather(jnp.asarray(fs), win), jnp.asarray(w))
+    out, viol = window_conv_band(jnp.asarray(fs), win, jnp.asarray(w),
+                                 band=band, qb=64, interpret=True,
+                                 check=True)
+    assert int(viol) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_window_conv_band_detects_spread_violations():
+    """A band far below the real spread trips both the host checker and the
+    device violation counter (out-of-band taps contribute zero, gracefully)."""
+    from multimodal_gar_tpu.ops.pallas.window_conv import (band_spread_ok,
+                                                           window_conv_band)
+
+    rng = np.random.default_rng(9)
+    shape = (8, 12, 12)
+    coords = _dense_coords(shape, rng, drop=0.2)
+    n = len(coords)
+    cap = ((n + 7) // 8) * 8
+    coords_p = np.concatenate(
+        [coords, np.full((cap - n, 3), -1, np.int32)])
+    rb = build_rulebook(coords_p, n, shape, (cap, cap, cap, cap),
+                        x_window=True)
+    assert not band_spread_ok(rb["win_0"], band=16, qb=128)
+    feats = rng.normal(size=(cap, 8)).astype(np.float32)
+    w = rng.normal(size=(27, 8, 8)).astype(np.float32)
+    _, viol = window_conv_band(
+        jnp.asarray(feats[rb["order_0"]]), jnp.asarray(rb["win_0"]),
+        jnp.asarray(w), band=16, qb=128, interpret=True, check=True)
+    assert int(viol) > 0
