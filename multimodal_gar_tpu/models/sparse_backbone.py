@@ -119,10 +119,17 @@ class SubMConv3d(nn.Module):
             fuse = (self.fused_window and self.dtype == jnp.float32
                     and window.shape[1] == st.features.shape[1])
             if fuse:
-                from ..ops.pallas.window_conv import window_conv_pallas
-                out = jax.vmap(lambda f, wn: window_conv_pallas(
-                    f.astype(jnp.float32), wn,
-                    w.astype(jnp.float32)))(st.features, window)
+                # scalar-prefetch band kernel (ops/pallas/window_conv.py):
+                # contiguous band DMA + one-hot MXU gather — compiles on
+                # Mosaic toolchains whose dynamic_gather cannot. Python
+                # unroll over the (small, static) batch: vmap of a
+                # scalar-prefetch pallas_call is not supported.
+                from ..ops.pallas.window_conv import window_conv_band
+                wf = w.astype(jnp.float32)
+                out = jnp.stack([
+                    window_conv_band(st.features[b].astype(jnp.float32),
+                                     window[b], wf)
+                    for b in range(st.features.shape[0])])
                 if self.use_bias:
                     out = out + self.param("bias", nn.initializers.zeros,
                                            (self.out_channels,))

@@ -59,11 +59,12 @@ from ..voxel import WINDOW_POS_BITS, WINDOW_POS_MASK, shifted_window_table
 #        HBM -> VMEM at a *dynamic* offset start = start_ref[i, p] from the
 #        scalar-prefetched base array (pltpu.PrefetchScalarGridSpec) —
 #        contiguous stream at HBM bandwidth, not a row gather;
-#     2. build the 3C-wide shifted band in VMEM (rows b -> [f[b],f[b+1],
-#        f[b+2]], i.e. window rows j-1, j, j+1 of query row j);
-#     3. gather as a ONE-HOT MXU MATMUL: oh[q, b] = (pos_adj[q]-start == b),
-#        g = oh @ shifted_band — rows whose position falls outside the band
-#        produce an all-zero oh row (exactly the absent-tap semantics);
+#     2. gather as THREE shifted ONE-HOT MXU MATMULS against the unshifted
+#        band: oh_j[q, b] = (pos_adj[q]-start+j == b), g_j = oh_j @ band
+#        (window rows pos-1, pos, pos+1) — rows whose position falls outside
+#        the band produce an all-zero oh row (the absent-tap semantics);
+#        shifting the one-hot, not the band, avoids Mosaic's unimplemented
+#        sublane-offset concat relayout;
 #     4. the existing slot-select (2-bit dx selectors) + one (QB, 3C) x
 #        (3C, D) tap GEMM, accumulated into the resident output block.
 #
@@ -92,20 +93,22 @@ def _band_kernel(start_ref, has_ref, tab_ref, pos_ref, sel_ref, w_ref,
         cp.start()
         cp.wait()
         f = fbuf[...]                                     # (BAND_P, C)
-        sb = jnp.concatenate(
-            [f[0:band], f[1:band + 1], f[2:band + 2]], axis=1)  # (BAND, 3C)
-        b = pos_ref[...] - start                          # (QB, 1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (qb, band), 1)
-        oh = (iota == b).astype(jnp.float32)              # (QB, BAND)
-        g = jnp.dot(oh, sb, preferred_element_type=jnp.float32)  # (QB, 3C)
-        sel = sel_ref[...]                                # (QB, 1)
+        b = pos_ref[0] - start                            # (QB, 1)
+        # Three shifted ONE-HOTS against the unshifted band: g[j][q] =
+        # f[b[q] + j] (window rows pos-1, pos, pos+1). Shifting the one-hot
+        # instead of the band sidesteps Mosaic's unimplemented relayout for
+        # concatenating sublane-offset slices (f[0:band], f[1:band+1], ...).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (qb, band_p), 1)
+        gs = [jnp.dot((iota == (b + j)).astype(jnp.float32), f,
+                      preferred_element_type=jnp.float32)  # (QB, C)
+              for j in range(3)]
+        sel = sel_ref[0]                                  # (QB, 1)
         taps = []
         for wdx in range(3):
             slot = (sel >> (2 * wdx)) & 3                 # (QB, 1) in {0..3}
             t = jnp.zeros((qb, c), jnp.float32)
             for j in range(3):
-                t = t + g[:, j * c:(j + 1) * c] * (slot == j).astype(
-                    jnp.float32)
+                t = t + gs[j] * (slot == j).astype(jnp.float32)
             taps.append(t)
         tapc = jnp.concatenate(taps, axis=1)              # (QB, 3C)
         wmat = w_ref[...].reshape(3 * c, d)
@@ -169,7 +172,12 @@ def window_conv_band(features: jnp.ndarray, win: jnp.ndarray,
     mp = -(-m // qb) * qb
     rows = max(m + 2 * _PAD_FRONT, band_p)
     rows = -(-rows // 8) * 8
-    tab = jnp.zeros((rows, c), features.dtype)
+    # The HBM table's lane dim is padded to the 128-lane tile so the band
+    # DMA's memref_slice is tile-aligned (Mosaic requires it); Mosaic lays
+    # the (rows, c<128) array out 128-lane-tiled anyway, so the pad adds no
+    # physical HBM traffic beyond that layout.
+    cp = max(-(-c // 128) * 128, 128)
+    tab = jnp.zeros((rows, cp), features.dtype)
     tab = jax.lax.dynamic_update_slice(tab, features, (_PAD_FRONT, 0))
 
     absent = jnp.int32((3 | 3 << 2 | 3 << 4) << WINDOW_POS_BITS)
@@ -184,30 +192,40 @@ def window_conv_band(features: jnp.ndarray, win: jnp.ndarray,
     start, has, viol = _band_starts(pos_adj, present, rows, qb, band, band_p)
     nb = mp // qb
 
+    # Mosaic's block-shape rule wants the last two block dims (8,128)-aligned
+    # OR equal to the array dims; a (qb, 1) block over the (mp, 9) maps is
+    # illegal (1 != 9). Laying the maps out as (9, mp, 1) makes the per-step
+    # block (1, qb, 1) legal: qb % 8 == 0 and the last dims match exactly.
+    pos_t = pos_adj.T[:, :, None]
+    sel_t = sel.T[:, :, None]
+    # weights padded to the table's lane-padded width: the kernel then works
+    # at cp throughout (zero channels contribute zero) and never lane-slices.
+    wp = jnp.pad(weights.astype(jnp.float32), ((0, 0), (0, cp - c), (0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, 9),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # padded table
-            pl.BlockSpec((qb, 1), lambda i, p, s, h: (i, p)),  # pos_adj
-            pl.BlockSpec((qb, 1), lambda i, p, s, h: (i, p)),  # selectors
-            pl.BlockSpec((3, c, d), lambda i, p, s, h: (p, 0, 0)),
+            pl.BlockSpec((1, qb, 1), lambda i, p, s, h: (p, i, 0)),  # pos
+            pl.BlockSpec((1, qb, 1), lambda i, p, s, h: (p, i, 0)),  # sel
+            pl.BlockSpec((3, cp, d), lambda i, p, s, h: (p, 0, 0)),
         ],
         out_specs=pl.BlockSpec((qb, d), lambda i, p, s, h: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((band_p, c), jnp.float32),
+            pltpu.VMEM((band_p, cp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_band_kernel, c=c, d=d, band=band, band_p=band_p,
+        functools.partial(_band_kernel, c=cp, d=d, band=band, band_p=band_p,
                           qb=qb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(start, has, tab.astype(jnp.float32), pos_adj, sel, weights)
+    )(start, has, tab.astype(jnp.float32), pos_t, sel_t, wp)
     out = out[:m]
     if check:
         return out, viol

@@ -13,6 +13,7 @@ Components:
   i3d         I3D through Mixed_4f (stem + body)
   rgb         full RGB branch (i3d + RoIAlign + NL + embed)
   lidar       full LiDAR branch (sparse backbone + ROI grid pool + NL)
+  sparse      VoxelBackbone8x alone (mean_vfe + 4 sparse stages)
   chunk1      b-batch eval as lax.map over single-clip forwards (the
               peak-memory-free batching baseline)
 
@@ -125,8 +126,11 @@ def build_probes(cfg, batch, components, chunk=None):
                           (svars, batch.images))
 
     if "i3d" in components:
+        center = (getattr(cfg.model.rgb, "i3d_center_slice", False)
+                  and cfg.model.rgb.i3d_endpoint == "Mixed_4f")
         i3d = InceptionI3d(final_endpoint=cfg.model.rgb.i3d_endpoint,
-                           pallas_stem=cfg.model.rgb.pallas_stem)
+                           pallas_stem=cfg.model.rgb.pallas_stem,
+                           center_slice=center)
         ivars = jax.jit(partial(i3d.init, train=False))(
             jax.random.PRNGKey(0), batch.images)
 
@@ -153,6 +157,37 @@ def build_probes(cfg, batch, components, chunk=None):
                                        a[3]),
                          (rvars, batch.images, batch.boxes2d,
                           batch.person_valid))
+
+    if "sparse" in components:
+        # VoxelBackbone8x alone (mean_vfe + 4 sparse stages, no ROI pool):
+        # splits the lidar branch's batch scaling into backbone vs pool+NL
+        from multimodal_gar_tpu.models.lidar_backbone import mean_vfe
+        from multimodal_gar_tpu.models.sparse_backbone import (SparseTensor,
+                                                               VoxelBackbone8x)
+        nx, ny, nz = cfg.data.point_cloud.grid_size
+        bb = VoxelBackbone8x(
+            max_voxels_per_stage=cfg.model.lidar.max_voxels_per_stage,
+            x_window=getattr(cfg.model.lidar, "x_window", False),
+            x_window_fused=getattr(cfg.model.lidar, "x_window_fused", False))
+
+        def make_st(b):
+            f = mean_vfe(b.voxels, b.voxel_num_points)
+            f = f * b.voxel_valid[..., None].astype(f.dtype)
+            return SparseTensor(features=f, coords=b.voxel_coords,
+                                valid=b.voxel_valid,
+                                spatial_shape=(nz + 1, ny, nx))
+
+        bvars = jax.jit(partial(bb.init, train=False))(
+            jax.random.PRNGKey(0), make_st(batch), rulebook=batch.rulebook)
+
+        def sparse_fn(args):
+            v, b = args
+            ms = bb.apply(v, make_st(b), train=False, rulebook=b.rulebook)
+            return sum(jnp.sum(s.features) for s in ms.values())
+
+        probes["sparse"] = (sparse_fn,
+                            lambda a, s: (a[0], _perturb_batch(a[1], s)),
+                            (bvars, batch))
 
     if "lidar" in components:
         lidar = LiDARBackbone(cfg.model.lidar, cfg.data.point_cloud)
@@ -191,6 +226,15 @@ def main():
     components = arg("--components", "full,stem,i3d,rgb,lidar,chunk1").split(",")
 
     cfg = flagship_config(max_voxels=cap)
+    # dotted config overrides for A/Bs, e.g.
+    #   --overrides model.rgb.i3d_center_slice=true
+    if "--overrides" in argv:
+        import yaml
+        from multimodal_gar_tpu.config import _apply_override
+        for ov in arg("--overrides", "").split(","):
+            key, _, raw = ov.partition("=")
+            cfg = _apply_override(cfg, key.strip().split("."),
+                                  yaml.safe_load(raw))
     results = {}
     for B in batches:
         batch = synthetic_batch(cfg, batch_size=B, n_valid=100)
@@ -223,6 +267,8 @@ def main():
         if g("full") and g("rgb") and g("lidar"):
             emit_derived("tail=full-rgb-lidar",
                          g("full") - g("rgb") - g("lidar"))
+        if g("lidar") and g("sparse"):
+            emit_derived("pool=lidar-sparse", g("lidar") - g("sparse"))
 
 
 if __name__ == "__main__":

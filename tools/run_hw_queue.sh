@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-3 hardware measurement queue (run when the TPU tunnel is up).
+# Round-5 hardware measurement queue (run when the TPU tunnel is up).
 # Sequential (single host core); each step logs to /tmp/hwq_*.log and
-# appends a summary line here-below for docs/ROUND3_NOTES.md.
+# appends a summary line here-below for docs/ROUND5_NOTES.md.
 set -u
 cd "$(dirname "$0")/.."
 OUT=/tmp/hwq_summary.txt
@@ -16,10 +16,16 @@ run() {
   echo "[$name rc=$rc]" | tee -a "$OUT"
 }
 
-run probe   python tools/probe_gather.py
-run sparse  python tools/bench_sparse.py
-run flags   python tools/bench_r3_flags.py
+# band sparse-conv kernel A/B (VERDICT r4 item 4)
+run band    python tools/bench_band_kernel.py
+# temporal-cone cull A/B (item 3)
+run cull    python tools/bench_batch_scaling.py --batches 1,4 \
+            --components stem,i3d --overrides model.rgb.i3d_center_slice=true
+# batch-scaling localization: backbone vs pool (item 1)
+run scaling python tools/bench_batch_scaling.py --batches 1,4 \
+            --components sparse,lidar
+# roofline accounting (item 2)
+run roofline python tools/roofline.py --ms-jsonl /tmp/batch_scaling_r5.jsonl
+# flagship bench (headline + b8 retry, item 6)
 run bench   python bench.py
-run zoo     python tools/bench_zoo.py SECOND SECOND:xwin CenterPoint
-run stem    python tools/bench_stem.py
 echo "queue done" | tee -a "$OUT"
