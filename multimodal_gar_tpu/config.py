@@ -113,6 +113,12 @@ class RGBBackboneConfig:
     # 1/4 of its temporal positions at the flagship T=15. Default flips on
     # once the on-chip A/B lands (lever-table convention).
     i3d_center_slice: bool = False
+    # bf16 product split of the Pallas stem kernel (1 | 2 | 3): 3 is the
+    # designed error-compensated split; 1 is plain bf16 — one third of the
+    # MXU issue and half the DMA/patch traffic. On this image's Mosaic the
+    # 3-pass compensation is dropped anyway (1.6e-3 measured, bf16 class),
+    # so 1 trades ~no accuracy for the speed (tools/bench_stem.py A/B).
+    pallas_stem_passes: int = 3
 
 
 @dataclass

@@ -185,6 +185,39 @@ def _window_map(src_center: np.ndarray, n_valid_q: int,
     return out.astype(np.int32)
 
 
+def _band_spread_max(win: np.ndarray, qb: int = 128) -> int:
+    """Max row spread of any (qb-query block, window slot) pair's present
+    taps, with the block start 8-aligned — the exactness contract of the
+    fused band kernel (ops/pallas/window_conv.window_conv_band): it gathers
+    each block's taps from one contiguous band of the key-sorted table, so
+    the spread must stay < its band width (default 640)."""
+    m = win.shape[0]
+    mp = -(-m // qb) * qb
+    absent = (3 | 3 << 2 | 3 << 4) << WINDOW_POS_BITS
+    w = np.pad(win, ((0, mp - m), (0, 0)), constant_values=absent)
+    pos = (w & WINDOW_POS_MASK).astype(np.int64)
+    sel = w >> WINDOW_POS_BITS
+    present = ((sel & 3) != 3) | (((sel >> 2) & 3) != 3) \
+        | (((sel >> 4) & 3) != 3)
+    pb = pos.reshape(-1, qb, 9)
+    prb = present.reshape(-1, qb, 9)
+    mn = (np.min(np.where(prb, pb, 2 ** 30), axis=1) // 8) * 8
+    mx = np.max(np.where(prb, pb, -1), axis=1)
+    sp = mx - mn
+    return int(sp[mx >= 0].max(initial=0))
+
+
+def _stamp_band_ok(rb: Dict[str, np.ndarray], band: int = 640) -> None:
+    """rb['band_ok'] = 1 iff every fused-eligible stage map (win_1..win_3,
+    the cin>=32 submanifold layers) satisfies the band kernel's spread
+    contract. Stored per item so pipelines/tests can verify before enabling
+    LiDARBackboneConfig.x_window_fused; the kernel itself zeroes (not
+    corrupts) out-of-band taps."""
+    ok = all(_band_spread_max(rb[f"win_{k}"]) < band
+             for k in (1, 2, 3) if f"win_{k}" in rb)
+    rb["band_ok"] = np.int32(ok)
+
+
 def add_x_window_maps(rb: Dict[str, np.ndarray], coords0: np.ndarray,
                       n_valid0: int, spatial_shape: Tuple[int, int, int],
                       max_voxels_per_stage: Sequence[int]
@@ -204,6 +237,7 @@ def add_x_window_maps(rb: Dict[str, np.ndarray], coords0: np.ndarray,
         from ..native import native_xwindow
         if native_xwindow(rb, coords0, n_valid0, spatial_shape,
                           max_voxels_per_stage):
+            _stamp_band_ok(rb)
             return rb
     except ImportError:
         pass
@@ -247,6 +281,7 @@ def add_x_window_maps(rb: Dict[str, np.ndarray], coords0: np.ndarray,
         src[:, :, :2] += pair_c[None, :, :]
         rb[f"win_{k}"] = _window_map(src, cur_valid, cur_keys, cur_valid,
                                      cur_shape)
+    _stamp_band_ok(rb)
     return rb
 
 

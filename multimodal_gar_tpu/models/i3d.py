@@ -119,21 +119,23 @@ def _stem_ref_s2d(xd: jnp.ndarray, w2: jnp.ndarray, s: jnp.ndarray,
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_stem_op(interp: bool, xd: jnp.ndarray, w2: jnp.ndarray,
-                    s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pallas_stem_op(interp: bool, passes: int, xd: jnp.ndarray,
+                    w2: jnp.ndarray, s: jnp.ndarray,
+                    b: jnp.ndarray) -> jnp.ndarray:
     """Fused stem conv+BN+ReLU: Pallas kernel forward, XLA-reference VJP
     (pallas_call has no AD rule; the train step differentiates through the
     frozen eval-mode stem, so a working backward is required)."""
     from ..ops.pallas.stem_conv import stem_conv_pallas
-    return stem_conv_pallas(xd, w2, scale=s, bias=b, interpret=interp)
+    return stem_conv_pallas(xd, w2, scale=s, bias=b, interpret=interp,
+                            passes=passes)
 
 
-def _pallas_stem_fwd(interp, xd, w2, s, b):
-    return _pallas_stem_op(interp, xd, w2, s, b), (xd, w2, s, b)
+def _pallas_stem_fwd(interp, passes, xd, w2, s, b):
+    return _pallas_stem_op(interp, passes, xd, w2, s, b), (xd, w2, s, b)
 
 
-def _pallas_stem_bwd(interp, res, g):
+def _pallas_stem_bwd(interp, passes, res, g):
     _, vjp = jax.vjp(_stem_ref_s2d, *res)
     return vjp(g)
 
@@ -205,6 +207,11 @@ class Unit3D(nn.Module):
     activation: bool = True
     s2d_stem: bool = False
     pallas_stem: bool = True
+    # bf16 product split of the Pallas stem (ops/pallas/stem_conv.py): 3 =
+    # designed error-compensated, 1 = plain bf16 (~half the kernel's DMA +
+    # patch copies, a third of its MXU issue). This image's Mosaic degrades
+    # the 3-pass to 1.6e-3 anyway, so 1 costs ~no accuracy here.
+    stem_passes: int = 3
     t_pad: Tuple[int, int] | None = None
     # eval-path (3,3,3)/stride-1 convs as 3 temporally-shifted NATIVE 2D
     # convs summed (T folded into batch): exact same sums, but each conv
@@ -302,7 +309,7 @@ class Unit3D(nn.Module):
         """
         xd, w2 = _s2d_prep(x.astype(jnp.float32), kernel.astype(jnp.float32))
         s, b = self._bn_affine()
-        return _pallas_stem_op(interp, xd, w2, s, b)
+        return _pallas_stem_op(interp, self.stem_passes, xd, w2, s, b)
 
 
 def max_pool_same(x: jnp.ndarray, window: Tuple[int, int, int],
@@ -386,6 +393,7 @@ class InceptionI3d(nn.Module):
     """
     final_endpoint: str = "Mixed_4f"
     pallas_stem: bool = True
+    stem_passes: int = 3        # Unit3D.stem_passes of the Conv3d_1a stem
     # rematerialize each Inception module's activations in the backward pass
     # (jax.checkpoint): trades recompute FLOPs for activation HBM, enabling
     # larger per-chip train batches (VERDICT r2 weak #2).
@@ -450,6 +458,7 @@ class InceptionI3d(nn.Module):
             if ep == "Conv3d_1a_7x7":
                 x = Unit3D(64, (7, 7, 7), (2, 2, 2), s2d_stem=True,
                            pallas_stem=self.pallas_stem,
+                           stem_passes=self.stem_passes,
                            dtype=d, name=ep)(x, train)
             elif ep == "MaxPool3d_2a_3x3":
                 x = max_pool_same(x, (1, 3, 3), (1, 2, 2))

@@ -57,6 +57,8 @@ class RGBBackbone(nn.Module):
                   and self.cfg.i3d_endpoint == "Mixed_4f" and not i3d_train)
         feats = InceptionI3d(final_endpoint=self.cfg.i3d_endpoint,
                              pallas_stem=self.cfg.pallas_stem,
+                             stem_passes=getattr(self.cfg,
+                                                 "pallas_stem_passes", 3),
                              remat=self.cfg.i3d_remat,
                              t2d=getattr(self.cfg, "i3d_t2d", False),
                              body_dtype=jnp.bfloat16 if bf16_body else None,

@@ -78,6 +78,23 @@ def window_gather(features: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return taps.reshape(r, 27, c)
 
 
+def batched_window_gather(features: jnp.ndarray,
+                          win: jnp.ndarray) -> jnp.ndarray:
+    """window_gather over a batch, unrolled in Python instead of vmapped.
+
+    vmap turns the (R, 9)-row gather into ONE batched gather with a batch
+    dimension — measured super-linear on TPU (the sparse backbone's per-clip
+    cost inflates 35.7 -> 46.1 ms from b1 to b4, ROUND5_NOTES batch-scaling
+    table); B separate gathers keep each item on the same fast path the b1
+    program uses. B is static and small (<=8), so the unroll is cheap to
+    trace and XLA schedules the copies independently.
+    """
+    if features.shape[0] == 1:
+        return window_gather(features[0], win[0])[None]
+    return jnp.stack([window_gather(features[b], win[b])
+                      for b in range(features.shape[0])])
+
+
 def _neighbor_idx_subm(coords, valid, spatial_shape, kernel_size):
     """(B, M, K^3) row indices of each voxel's neighbors (-1 if absent)."""
     offs = vox.kernel_offsets(kernel_size)                       # (K3, 3)
@@ -105,6 +122,12 @@ class SubMConv3d(nn.Module):
     # (ops/pallas/window_conv.py). Eval-path f32 submanifold layers only;
     # selected via LiDARBackboneConfig.x_window_fused.
     fused_window: bool = False
+    # fuse only layers with cin >= this: the band kernel DMAs the feature
+    # table at 128 lanes regardless of C, so narrow layers (the cin=4/16
+    # stage-1 convs) waste 8-32x DMA bytes and measure a wash vs the XLA
+    # x-window path, while cin>=32 layers win 1.1-4.8x (ROUND5_NOTES band
+    # kernel A/B).
+    fused_min_cin: int = 32
 
     @nn.compact
     def __call__(self, st: SparseTensor,
@@ -117,7 +140,8 @@ class SubMConv3d(nn.Module):
         if window is not None:
             assert self.kernel_size == 3
             fuse = (self.fused_window and self.dtype == jnp.float32
-                    and window.shape[1] == st.features.shape[1])
+                    and window.shape[1] == st.features.shape[1]
+                    and cin >= self.fused_min_cin)
             if fuse:
                 # scalar-prefetch band kernel (ops/pallas/window_conv.py):
                 # contiguous band DMA + one-hot MXU gather — compiles on
@@ -135,7 +159,7 @@ class SubMConv3d(nn.Module):
                                            (self.out_channels,))
                 out = out * st.valid[..., None].astype(out.dtype)
                 return st.replace(features=out)
-            gathered = jax.vmap(window_gather)(st.features, window)
+            gathered = batched_window_gather(st.features, window)
         else:
             if neighbor_idx is None:
                 neighbor_idx = _neighbor_idx_subm(
@@ -240,7 +264,7 @@ class SparseConv3dDown(nn.Module):
         if window_pre is not None:
             assert (kz, ky, kx) == (3, 3, 3)
             out_coords, out_valid, dwin = window_pre     # (B,Mo,3)(B,Mo)(B,Mo,9)
-            gathered = jax.vmap(window_gather)(st.features, dwin)
+            gathered = batched_window_gather(st.features, dwin)
         elif precomputed is not None:
             out_coords, out_valid, down_idx = precomputed      # (B,Mo,3)(B,Mo)(B,Mo,K3)
             hit = (down_idx >= 0)[..., None].astype(st.features.dtype)

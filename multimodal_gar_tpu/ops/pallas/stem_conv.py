@@ -61,7 +61,8 @@ _NMAX = 640       # max output columns per w-chunk (5 lane tiles)
 
 def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
                  xs_h, xs_l, p_h, p_l, sem, *,
-                 kt: int, ks: int, n: int, ws: int, fuse: bool, cout: int):
+                 kt: int, ks: int, n: int, ws: int, fuse: bool, cout: int,
+                 passes: int = 3):
     """One (8 rows, n cols, cout) output block.
 
     xh/xl_ref: HBM (B, T_pad, H_pad, 16, W_pad) bf16 hi/lo halves;
@@ -80,13 +81,16 @@ def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
     dma_h = pltpu.make_async_copy(
         xh_ref.at[bb, pl.ds(2 * tt, kt), pl.ds(hh * _HBLK, hwin), :,
                   pl.ds(ws, n + 128)], xs_h, sem.at[0])
-    dma_l = pltpu.make_async_copy(
-        xl_ref.at[bb, pl.ds(2 * tt, kt), pl.ds(hh * _HBLK, hwin), :,
-                  pl.ds(ws, n + 128)], xs_l, sem.at[1])
     dma_h.start()
-    dma_l.start()
-    dma_h.wait()
-    dma_l.wait()
+    if passes >= 2:
+        dma_l = pltpu.make_async_copy(
+            xl_ref.at[bb, pl.ds(2 * tt, kt), pl.ds(hh * _HBLK, hwin), :,
+                      pl.ds(ws, n + 128)], xs_l, sem.at[1])
+        dma_l.start()
+        dma_h.wait()
+        dma_l.wait()
+    else:
+        dma_h.wait()
 
     ndi = ks + 1
     blk = kt * ndi * _CSLOT
@@ -95,10 +99,15 @@ def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
         for dj in range(ks):
             rows = pl.ds(dj * blk, blk)
             p_h[rows, :] = xs_h[:, r:r + ndi, :, dj:dj + n].reshape(blk, n)
-            p_l[rows, :] = xs_l[:, r:r + ndi, :, dj:dj + n].reshape(blk, n)
+            if passes >= 2:
+                p_l[rows, :] = xs_l[:, r:r + ndi, :, dj:dj + n].reshape(blk, n)
         res = jnp.dot(ah_ref[:], p_h[:], preferred_element_type=jnp.float32)
-        res += jnp.dot(ah_ref[:], p_l[:], preferred_element_type=jnp.float32)
-        res += jnp.dot(al_ref[:], p_h[:], preferred_element_type=jnp.float32)
+        if passes >= 2:
+            res += jnp.dot(ah_ref[:], p_l[:],
+                           preferred_element_type=jnp.float32)
+        if passes >= 3:
+            res += jnp.dot(al_ref[:], p_h[:],
+                           preferred_element_type=jnp.float32)
         if fuse:
             # folded BN + ReLU on the GEMM layout (row-broadcast, cheap;
             # doing this after the transpose measured +3.6 ms)
@@ -131,12 +140,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fuse_affine", "interpret"))
+                   static_argnames=("fuse_affine", "interpret", "passes"))
 def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                     scale: Optional[jnp.ndarray],
                     bias: Optional[jnp.ndarray],
                     fuse_affine: bool = False,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    passes: int = 3) -> jnp.ndarray:
     b, t, hp, wp, cin = xd.shape
     kt, ks, _, _, cout = w2.shape
     assert cin <= _CSLOT and cout * 2 == 128, (cin, cout)
@@ -161,7 +171,13 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
     w_pad = w_align + 128                          # last window in bounds
     x5 = jnp.pad(x5, ((0, 0), (ft, ft), (0, h_pad - hp),
                       (0, _CSLOT - cin), (0, w_pad - wp)))
-    x_hi, x_lo = _split_hi_lo(x5)
+    if passes >= 2:
+        x_hi, x_lo = _split_hi_lo(x5)
+    else:
+        # 1-pass: no input-lo correction — skip materializing (and DMAing)
+        # the lo half entirely; the kernel never reads xs_l/p_l.
+        x_hi = x5.astype(jnp.bfloat16)
+        x_lo = x_hi
 
     a_mat = _build_a(w2)
     a_hi, a_lo = _split_hi_lo(a_mat)
@@ -178,7 +194,7 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
     for n_chunk in chunk_ns:
         kernel = functools.partial(
             _stem_kernel, kt=kt, ks=ks, n=n_chunk, ws=ws,
-            fuse=fuse_affine, cout=cout)
+            fuse=fuse_affine, cout=cout, passes=passes)
         vec_spec = pl.BlockSpec((2 * cout, k_dim),
                                 lambda bb, tt, hh: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -223,7 +239,8 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
 def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
                      scale: Optional[jnp.ndarray] = None,
                      bias: Optional[jnp.ndarray] = None,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     passes: int = 3) -> jnp.ndarray:
     """s2d'd stem conv: xd (B, T, H', W', 12), w2 (7, 4, 4, 12, 64)
     -> (B, T_out, H'-3, W'-3, 64), temporal stride 2 / pad (3, 3).
 
@@ -233,7 +250,14 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
     Mosaic — see module docstring); when
     ``scale``/``bias`` are given the folded inference BatchNorm + ReLU
     epilogue runs inside the kernel (relu(conv * scale + bias)).
+
+    ``passes`` selects the bf16 product split: 3 = the designed
+    error-compensated a_hi@p_hi + a_hi@p_lo + a_lo@p_hi; 2 drops the
+    weight-lo term; 1 is plain bf16 (a_hi@p_hi only — also skips the lo
+    DMA and patch copies, ~halving non-MXU kernel work). On this image's
+    Mosaic the 3-pass measures 1.6e-3 anyway (compensation dropped), so
+    1-pass trades ~nothing: A/B in tools/bench_stem.py.
     """
     fuse = scale is not None
     return _stem_conv_impl(xd, w2, scale, bias, fuse_affine=fuse,
-                           interpret=interpret)
+                           interpret=interpret, passes=passes)

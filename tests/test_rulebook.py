@@ -64,3 +64,21 @@ def test_rulebook_empty_input():
     rb = build_rulebook(coords, 0, (5, 8, 8), (16, 16, 8, 4))
     assert (rb["nbr_0"] == -1).all()
     assert int(rb["count_1"]) == 0
+
+
+def test_rulebook_stamps_band_ok(rng):
+    """Every x-window rulebook carries band_ok — the host-side verdict on
+    the fused band kernel's spread contract (win_1..win_3 spans < 640 rows
+    per 128-query block). Dense-ish small grids satisfy it trivially; the
+    stamp must agree with the reference checker in ops/pallas."""
+    from multimodal_gar_tpu.ops.pallas.window_conv import band_spread_ok
+
+    coords, valid, feats, nv, shape = _make_input(rng, m=200, n_valid=150)
+    rb = build_rulebook(coords, nv, shape, (200, 200, 100, 50))
+    assert "band_ok" in rb
+    expect = all(band_spread_ok(rb[f"win_{k}"]) for k in (1, 2, 3))
+    assert bool(rb["band_ok"]) == expect
+    # empty input: vacuously satisfied
+    rb0 = build_rulebook(np.full((16, 3), -1, np.int32), 0, (5, 8, 8),
+                         (16, 16, 8, 4))
+    assert int(rb0["band_ok"]) == 1

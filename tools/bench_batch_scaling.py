@@ -113,7 +113,9 @@ def build_probes(cfg, batch, components, chunk=None):
 
     if "stem" in components:
         stem = InceptionI3d(final_endpoint="Conv3d_1a_7x7",
-                            pallas_stem=cfg.model.rgb.pallas_stem)
+                            pallas_stem=cfg.model.rgb.pallas_stem,
+                            stem_passes=getattr(cfg.model.rgb,
+                                                "pallas_stem_passes", 3))
         svars = jax.jit(partial(stem.init, train=False))(
             jax.random.PRNGKey(0), batch.images)
 
@@ -130,6 +132,8 @@ def build_probes(cfg, batch, components, chunk=None):
                   and cfg.model.rgb.i3d_endpoint == "Mixed_4f")
         i3d = InceptionI3d(final_endpoint=cfg.model.rgb.i3d_endpoint,
                            pallas_stem=cfg.model.rgb.pallas_stem,
+                           stem_passes=getattr(cfg.model.rgb,
+                                               "pallas_stem_passes", 3),
                            center_slice=center)
         ivars = jax.jit(partial(i3d.init, train=False))(
             jax.random.PRNGKey(0), batch.images)

@@ -62,12 +62,16 @@ def main():
 
     xla = xla_conv(jax.lax.Precision.HIGHEST)     # exact-f32 reference
     pal = jax.jit(lambda x: stem_conv_pallas(x, w2))
+    pal_1p = jax.jit(lambda x: stem_conv_pallas(x, w2, passes=1))
     pal_fused = jax.jit(lambda x: stem_conv_pallas(x, w2, scale=sc, bias=bi))
+    pal_fused_1p = jax.jit(lambda x: stem_conv_pallas(x, w2, scale=sc,
+                                                      bias=bi, passes=1))
 
     ref = np.asarray(xla(xd))
     denom = np.abs(ref).max()
     for name, f in [("xla DEFAULT(1xbf16)", xla_conv(jax.lax.Precision.DEFAULT)),
                     ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
+                    ("pallas 1xbf16", pal_1p),
                     ("pallas 3xbf16", pal)]:
         err = np.abs(np.asarray(f(xd)) - ref).max() / denom
         print(f"parity {name}: rel max err = {err:.2e}")
@@ -90,7 +94,9 @@ def main():
                 ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
                 ("xla DEFAULT(1xbf16)", xla_conv(jax.lax.Precision.DEFAULT)),
                 ("pallas 3xbf16", pal),
-                ("pallas 3xbf16+affine", pal_fused)]
+                ("pallas 1xbf16", pal_1p),
+                ("pallas 3xbf16+affine", pal_fused),
+                ("pallas 1xbf16+affine", pal_fused_1p)]
     # optional argv substring filter: each chained-timing jit costs minutes
     # of 1-core compile, so reruns after a timeout can name the survivors
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
