@@ -7,7 +7,14 @@ config: Pallas stem + folded BN) and bf16 (XLA s2d stem — the Pallas stem
 kernel is f32-only). The split picks the next optimization target for the
 I3D hot path (reference gat_model.py:1048, backbone.py:238+).
 
-Usage: python tools/bench_i3d_split.py [f32|bf16 ...]
+Usage: python tools/bench_i3d_split.py [f32|bf16 ...] [--batches 1,4]
+       [--cull]
+
+--batches: comma list of batch sizes; per-clip deltas (cum/B) are printed so
+super-linear endpoint groups are directly visible (VERDICT r5 item 1: the
+body inflates 1.5x per clip at b4 — this names the endpoint responsible).
+--cull: temporal-cone culled body (InceptionI3d.center_slice) for the
+Mixed_4f-terminated rows (only valid endpoint for the culled path).
 """
 import json
 import os
@@ -51,32 +58,48 @@ def timed_chain(fn, variables, x, k=12, iters=2):
 
 
 def main():
-    variants = sys.argv[1:] or ["f32", "bf16"]
+    args = sys.argv[1:]
+    batches = [1]
+    cull = False
+    if "--cull" in args:
+        cull = True
+        args.remove("--cull")
+    if "--batches" in args:
+        i = args.index("--batches")
+        batches = [int(b) for b in args[i + 1].split(",")]
+        del args[i:i + 2]
+    variants = args or ["f32", "bf16"]
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(1, 15, 720, 1280, 3)).astype(np.float32))
     results = {}
     for variant in variants:
         dtype = jnp.bfloat16 if variant == "bf16" else jnp.float32
-        prev = 0.0
-        rows = {}
-        for ep in ENDPOINTS:
-            model = InceptionI3d(final_endpoint=ep, dtype=dtype)
-            variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        for bsz in batches:
+            x = jnp.asarray(rng.normal(size=(bsz, 15, 720, 1280, 3))
+                            .astype(np.float32))
+            prev = 0.0
+            rows = {}
+            for ep in ENDPOINTS:
+                model = InceptionI3d(final_endpoint=ep, dtype=dtype,
+                                     center_slice=cull and ep == "Mixed_4f")
+                variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-            def fn(variables, xx):
-                out = model.apply(variables, xx, train=False)
-                return jnp.sum(out.astype(jnp.float32))
+                def fn(variables, xx):
+                    out = model.apply(variables, xx, train=False)
+                    return jnp.sum(out.astype(jnp.float32))
 
-            try:
-                t = timed_chain(fn, variables, x) * 1e3
-            except Exception as e:
-                print(f"{variant} {ep} FAILED: {str(e)[:200]}", flush=True)
-                break
-            rows[ep] = {"cum_ms": round(t, 2), "delta_ms": round(t - prev, 2)}
-            prev = t
-            print(f"{variant:5s} {ep:20s} cum={t:7.2f} ms "
-                  f"delta={rows[ep]['delta_ms']:7.2f} ms", flush=True)
-        results[variant] = rows
+                try:
+                    t = timed_chain(fn, variables, x) * 1e3 / bsz
+                except Exception as e:
+                    print(f"{variant} b{bsz} {ep} FAILED: {str(e)[:200]}",
+                          flush=True)
+                    break
+                rows[ep] = {"cum_ms": round(t, 2),
+                            "delta_ms": round(t - prev, 2)}
+                prev = t
+                print(f"{variant:5s} b{bsz} {ep:20s} cum={t:7.2f} ms/clip "
+                      f"delta={rows[ep]['delta_ms']:7.2f} ms/clip",
+                      flush=True)
+            results[f"{variant}_b{bsz}"] = rows
     print("SPLIT " + json.dumps(results))
 
 
