@@ -110,15 +110,17 @@ class RGBBackboneConfig:
     # temporal-cone culling of the Mixed_4x modules to the backward cone of
     # Mixed_4f's center slice — the only slice the model consumes
     # (gat_model.py:1050). Exact (value-identical features); Mixed_4f runs
-    # 1/4 of its temporal positions at the flagship T=15. Default flips on
-    # once the on-chip A/B lands (lever-table convention).
-    i3d_center_slice: bool = False
+    # 1/4 of its temporal positions at the flagship T=15. Eval-only (the
+    # rgb backbone gates it off under train-mode BN). On-chip A/B: body
+    # 16.87 vs 17.99 ms/clip at b1, 25.71 vs 28.43 at b4 (ROUND5_NOTES).
+    i3d_center_slice: bool = True
     # bf16 product split of the Pallas stem kernel (1 | 2 | 3): 3 is the
     # designed error-compensated split; 1 is plain bf16 — one third of the
     # MXU issue and half the DMA/patch traffic. On this image's Mosaic the
-    # 3-pass compensation is dropped anyway (1.6e-3 measured, bf16 class),
-    # so 1 trades ~no accuracy for the speed (tools/bench_stem.py A/B).
-    pallas_stem_passes: int = 3
+    # 3-pass compensation is dropped anyway (1.6e-3 measured vs 1.7e-3 for
+    # 1-pass, both bf16 class), so 1 trades ~no accuracy for ~5 ms/clip
+    # (fused-affine A/B 22.65 -> 17.55 ms, tools/bench_stem.py 2026-08-19).
+    pallas_stem_passes: int = 1
 
 
 @dataclass
