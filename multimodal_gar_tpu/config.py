@@ -121,6 +121,12 @@ class RGBBackboneConfig:
     # 1-pass, both bf16 class), so 1 trades ~no accuracy for ~5 ms/clip
     # (fused-affine A/B 22.65 -> 17.55 ms, tools/bench_stem.py 2026-08-19).
     pallas_stem_passes: int = 1
+    # eval-path batched I3D as batched stem + Python-unrolled per-clip body
+    # (InceptionI3d.batch_unroll): XLA's folded-batch layout of the small
+    # Mixed_4x convs executes super-linearly (body per-clip ms inflates 1.5x
+    # b1->b4 at identical per-clip FLOPs/bytes), while B copies of the b1
+    # body keep each clip on the b1 fast path. Exact under eval-mode BN.
+    i3d_batch_unroll: bool = False
 
 
 @dataclass

@@ -408,6 +408,15 @@ class InceptionI3d(nn.Module):
     center_slice: bool = False
     # eval-path (3,3,3) convs as 3 shifted native 2D convs (Unit3D.t2d)
     t2d: bool = False
+    # eval-path batched forward as stem (batched — scales flat, ROUND5_NOTES
+    # batch table) + Python-unrolled per-clip body: XLA's folded-batch layout
+    # of the small Mixed_4x convs executes super-linearly (the I3D body's
+    # per-clip cost inflates 1.5x from b1 to b4 at IDENTICAL per-clip
+    # FLOPs/bytes — tools/probe_i3d_hlo.py), while B copies of the b1 body
+    # keep each clip on the b1 fast path. Same fix as the sparse backbone's
+    # batched_window_gather unroll. Exact: eval-mode BN uses running stats,
+    # so per-item == batched position-for-position.
+    batch_unroll: bool = False
     dtype: Any = jnp.float32
     # post-stem compute dtype (None = dtype). bfloat16 here keeps the f32
     # Pallas stem (which is f32-gated) while the ~60 post-stem convs run on
@@ -454,31 +463,50 @@ class InceptionI3d(nn.Module):
         # under remat (argnum 2: flax prepends the module instance).
         mixed_cls = nn.remat(InceptionModule, static_argnums=(2,)) \
             if self.remat else InceptionModule
-        for ep in VALID_ENDPOINTS:
-            if ep == "Conv3d_1a_7x7":
-                x = Unit3D(64, (7, 7, 7), (2, 2, 2), s2d_stem=True,
-                           pallas_stem=self.pallas_stem,
-                           stem_passes=self.stem_passes,
-                           dtype=d, name=ep)(x, train)
-            elif ep == "MaxPool3d_2a_3x3":
-                x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
-            elif ep == "Conv3d_2b_1x1":
-                x = Unit3D(64, (1, 1, 1), dtype=bd, name=ep)(x, train)
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), s2d_stem=True,
+                   pallas_stem=self.pallas_stem,
+                   stem_passes=self.stem_passes,
+                   dtype=d, name="Conv3d_1a_7x7")(x, train)
+        if self.final_endpoint == "Conv3d_1a_7x7":
+            return x
+
+        # body module INSTANCES created once — the unrolled per-clip passes
+        # below re-call the same instances, so parameters are shared and the
+        # param tree is identical to the batched path (names are explicit,
+        # so init values match too).
+        units = {}
+        for ep in VALID_ENDPOINTS[1:]:
+            if ep == "Conv3d_2b_1x1":
+                units[ep] = Unit3D(64, (1, 1, 1), dtype=bd, name=ep)
             elif ep == "Conv3d_2c_3x3":
-                x = Unit3D(192, (3, 3, 3), t2d=self.t2d, dtype=bd,
-                           name=ep)(x, train)
-            elif ep == "MaxPool3d_3a_3x3":
-                x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
-            elif ep == "MaxPool3d_4a_3x3":
-                x = max_pool_same(x, (3, 3, 3), (2, 2, 2))
-                if entry is not None:
-                    x = x[:, entry[0]:entry[1]]
-            elif ep == "MaxPool3d_5a_2x2":
-                x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
-            else:
+                units[ep] = Unit3D(192, (3, 3, 3), t2d=self.t2d, dtype=bd,
+                                   name=ep)
+            elif ep in _INCEPTION_CFG:
                 tp = plan.get(ep) if plan is not None else None
-                x = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d, t_pad=tp,
-                              dtype=bd, name=ep)(x, train)
+                units[ep] = mixed_cls(_INCEPTION_CFG[ep], t2d=self.t2d,
+                                      t_pad=tp, dtype=bd, name=ep)
             if ep == self.final_endpoint:
-                return x
-        raise ValueError(f"unknown endpoint {self.final_endpoint}")
+                break
+
+        def body(xx):
+            for ep in VALID_ENDPOINTS[1:]:
+                if ep == "MaxPool3d_2a_3x3":
+                    xx = max_pool_same(xx, (1, 3, 3), (1, 2, 2))
+                elif ep == "MaxPool3d_3a_3x3":
+                    xx = max_pool_same(xx, (1, 3, 3), (1, 2, 2))
+                elif ep == "MaxPool3d_4a_3x3":
+                    xx = max_pool_same(xx, (3, 3, 3), (2, 2, 2))
+                    if entry is not None:
+                        xx = xx[:, entry[0]:entry[1]]
+                elif ep == "MaxPool3d_5a_2x2":
+                    xx = max_pool_same(xx, (2, 2, 2), (2, 2, 2))
+                else:
+                    xx = units[ep](xx, train)
+                if ep == self.final_endpoint:
+                    return xx
+            raise ValueError(f"unknown endpoint {self.final_endpoint}")
+
+        if self.batch_unroll and not train and x.shape[0] > 1:
+            return jnp.concatenate(
+                [body(x[i:i + 1]) for i in range(x.shape[0])], axis=0)
+        return body(x)

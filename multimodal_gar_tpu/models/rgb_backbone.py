@@ -63,6 +63,9 @@ class RGBBackbone(nn.Module):
                              t2d=getattr(self.cfg, "i3d_t2d", False),
                              body_dtype=jnp.bfloat16 if bf16_body else None,
                              center_slice=center,
+                             batch_unroll=(
+                                 getattr(self.cfg, "i3d_batch_unroll", False)
+                                 and not i3d_train),
                              dtype=self.dtype, name="i3d")(
             images, train=i3d_train)
         feats = feats.astype(self.dtype)

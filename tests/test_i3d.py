@@ -426,3 +426,29 @@ def test_center_slice_matches_full_center():
         np.testing.assert_allclose(np.asarray(out_cull[:, 0]),
                                    np.asarray(out_full[:, t4 // 2]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_batch_unroll_matches_batched():
+    """The eval-path batch unroll (InceptionI3d.batch_unroll: batched stem +
+    per-clip body, the sparse-gather-unroll fix applied to the I3D body —
+    ROUND5_NOTES batch-scaling table) is exact: same module instances, so the
+    param tree is identical, and eval-mode BN makes per-item == batched.
+    Also covers composition with center_slice (the default eval config)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 15, 32, 48, 3)).astype(np.float32))
+    for center in (False, True):
+        batched = InceptionI3d(final_endpoint="Mixed_4f", center_slice=center)
+        unrolled = InceptionI3d(final_endpoint="Mixed_4f",
+                                center_slice=center, batch_unroll=True)
+        v = jax.jit(partial(batched.init, train=False))(
+            jax.random.PRNGKey(2), x)
+        # identical param/stat trees (the unroll re-calls shared instances)
+        vu = jax.jit(partial(unrolled.init, train=False))(
+            jax.random.PRNGKey(2), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(vu))
+        out_b = jax.jit(partial(batched.apply, train=False))(v, x)
+        out_u = jax.jit(partial(unrolled.apply, train=False))(v, x)
+        assert out_u.shape == out_b.shape
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_b),
+                                   rtol=1e-5, atol=1e-6)

@@ -134,7 +134,9 @@ def build_probes(cfg, batch, components, chunk=None):
                            pallas_stem=cfg.model.rgb.pallas_stem,
                            stem_passes=getattr(cfg.model.rgb,
                                                "pallas_stem_passes", 3),
-                           center_slice=center)
+                           center_slice=center,
+                           batch_unroll=getattr(cfg.model.rgb,
+                                                "i3d_batch_unroll", False))
         ivars = jax.jit(partial(i3d.init, train=False))(
             jax.random.PRNGKey(0), batch.images)
 
