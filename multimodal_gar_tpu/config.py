@@ -121,12 +121,18 @@ class RGBBackboneConfig:
     # 1-pass, both bf16 class), so 1 trades ~no accuracy for ~5 ms/clip
     # (fused-affine A/B 22.65 -> 17.55 ms, tools/bench_stem.py 2026-08-19).
     pallas_stem_passes: int = 1
+    # round-5 di-major stem kernel (ops/pallas/stem_conv.py
+    # _stem_kernel_dimajor): one lane-shifted patch per dj instead of one
+    # per (row pair, dj) — identical sums, ~45% less VMEM copy traffic.
+    pallas_stem_dimajor: bool = False
     # eval-path batched I3D as batched stem + Python-unrolled per-clip body
     # (InceptionI3d.batch_unroll): XLA's folded-batch layout of the small
     # Mixed_4x convs executes super-linearly (body per-clip ms inflates 1.5x
     # b1->b4 at identical per-clip FLOPs/bytes), while B copies of the b1
     # body keep each clip on the b1 fast path. Exact under eval-mode BN.
-    i3d_batch_unroll: bool = False
+    # On-chip A/B (2026-08-19, cull+1-pass-stem defaults): i3d b4 39.18
+    # ms/clip unrolled vs 53.5 folded (b1 40.13) — the inversion is gone.
+    i3d_batch_unroll: bool = True
 
 
 @dataclass

@@ -59,6 +59,9 @@ class RGBBackbone(nn.Module):
                              pallas_stem=self.cfg.pallas_stem,
                              stem_passes=getattr(self.cfg,
                                                  "pallas_stem_passes", 3),
+                             stem_dimajor=getattr(self.cfg,
+                                                  "pallas_stem_dimajor",
+                                                  False),
                              remat=self.cfg.i3d_remat,
                              t2d=getattr(self.cfg, "i3d_t2d", False),
                              body_dtype=jnp.bfloat16 if bf16_body else None,

@@ -138,8 +138,23 @@ class NeighborVoxelPoolLayer(nn.Module):
             zero = (~empty)[:, None, None].astype(grouped_f.dtype)
             return grouped_f * zero, grouped_xyz * zero, empty
 
-        grouped_f, grouped_xyz, empty = jax.vmap(per_item)(
-            st.coords, st.valid, f, query_xyz, query_valid)
+        # unrolled over the (small, static) batch instead of vmapped: vmap
+        # lowers the feats[cand] row-gathers to ONE batched gather, which TPU
+        # executes super-linearly in B (same mechanism as the sparse
+        # backbone's batched_window_gather — pool per-clip ms inflated
+        # 12.84 -> 14.66 b1->b4, ROUND5_NOTES). B copies of the b1 gather
+        # keep each item on the b1 fast path; exact (same per-item math).
+        if st.features.shape[0] == 1:
+            g1, x1, e1 = per_item(st.coords[0], st.valid[0], f[0],
+                                  query_xyz[0], query_valid[0])
+            grouped_f, grouped_xyz, empty = g1[None], x1[None], e1[None]
+        else:
+            parts = [per_item(st.coords[i], st.valid[i], f[i],
+                              query_xyz[i], query_valid[i])
+                     for i in range(st.features.shape[0])]
+            grouped_f = jnp.stack([p[0] for p in parts])
+            grouped_xyz = jnp.stack([p[1] for p in parts])
+            empty = jnp.stack([p[2] for p in parts])
 
         # position MLP: 3 -> C pointwise + masked BN over (B, R, S)
         pos = nn.Dense(self.mlp_mid, use_bias=False,

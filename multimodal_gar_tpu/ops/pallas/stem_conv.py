@@ -116,6 +116,91 @@ def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
         o_ref[0, 0, r + 1] = res[cout:].T
 
 
+def _stem_kernel_dimajor(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref,
+                         o_ref, xs_h, xs_l, p_h, p_l, sem, *,
+                         kt: int, ks: int, n: int, ws: int, fuse: bool,
+                         cout: int, passes: int = 3):
+    """di-major variant of ``_stem_kernel`` (round-5 stem iteration).
+
+    The original kernel assembles a fresh (K, n) patch for EVERY (row pair,
+    dj) — 16 sublane-merge + lane-shift copies per program, ~11.5 MB of VMEM
+    copy traffic that measures ~3x the GEMM time (roofline table,
+    docs/ROUND5_NOTES.md). This variant stores the DMA'd window H-major —
+    HBM layout (B, H_pad, T_pad, C16, W_pad), so the whole (hwin, kt, 16, n)
+    window merges into patch rows ordered (di, dt, c) — and builds ONE
+    lane-shifted patch per dj (4 copies, 6.3 MB). Each row pair's operand is
+    then a CONTIGUOUS 560-row sublane slice of the dj patch (rows
+    di in [r, r+5) x (dt, c)), so the GEMM runs as 4 accumulated K=560 dots
+    against per-dj weight blocks — identical FLOPs, 4x fewer relayout ops,
+    ~45% less copy traffic.
+
+    xh/xl_ref: HBM (B, H_pad, T_pad, 16, W_pad) bf16 hi/lo halves;
+    ah/al_ref: VMEM (ks*2*cout, (ks+1)*kt*16) per-dj weight blocks
+    (_build_a_dimajor); p_h/p_l: VMEM (ks*hwin*kt*16, n) — dj-blocked merged
+    windows. Everything else as ``_stem_kernel``.
+    """
+    bb = pl.program_id(0)
+    tt = pl.program_id(1)
+    hh = pl.program_id(2)
+
+    hwin = _HBLK + ks - 1
+    dma_h = pltpu.make_async_copy(
+        xh_ref.at[bb, pl.ds(hh * _HBLK, hwin), pl.ds(2 * tt, kt), :,
+                  pl.ds(ws, n + 128)], xs_h, sem.at[0])
+    dma_h.start()
+    if passes >= 2:
+        dma_l = pltpu.make_async_copy(
+            xl_ref.at[bb, pl.ds(hh * _HBLK, hwin), pl.ds(2 * tt, kt), :,
+                      pl.ds(ws, n + 128)], xs_l, sem.at[1])
+        dma_l.start()
+        dma_h.wait()
+        dma_l.wait()
+    else:
+        dma_h.wait()
+
+    rowblk = kt * _CSLOT                  # (dt, c) rows per di slot: 112
+    wrows = hwin * rowblk                 # rows per dj window: 1232
+    ndi = ks + 1
+    for dj in range(ks):
+        p_h[pl.ds(dj * wrows, wrows), :] = \
+            xs_h[:, :, :, dj:dj + n].reshape(wrows, n)
+        if passes >= 2:
+            p_l[pl.ds(dj * wrows, wrows), :] = \
+                xs_l[:, :, :, dj:dj + n].reshape(wrows, n)
+    for pr in range(_HBLK // 2):
+        r = 2 * pr
+        res = None
+        for dj in range(ks):
+            rows = pl.ds(dj * wrows + r * rowblk, ndi * rowblk)
+            arows = pl.ds(dj * 2 * cout, 2 * cout)
+            d = jnp.dot(ah_ref[arows, :], p_h[rows, :],
+                        preferred_element_type=jnp.float32)
+            if passes >= 2:
+                d += jnp.dot(ah_ref[arows, :], p_l[rows, :],
+                             preferred_element_type=jnp.float32)
+            if passes >= 3:
+                d += jnp.dot(al_ref[arows, :], p_h[rows, :],
+                             preferred_element_type=jnp.float32)
+            res = d if res is None else res + d
+        if fuse:
+            res = jnp.maximum(res * sc_ref[:, 0:1] + bi_ref[:, 0:1], 0.0)
+        o_ref[0, 0, r] = res[:cout].T                       # (n, cout)
+        o_ref[0, 0, r + 1] = res[cout:].T
+
+
+def _build_a_dimajor(w2: jnp.ndarray) -> jnp.ndarray:
+    """(kt, ks, ks, cin, cout) stem weights -> (ks*2*cout, (ks+1)*kt*16)
+    per-dj GEMM blocks in the di-major kernel's K order (di, dt, c16):
+    block dj's rows [0, cout) carry its taps at di slots [0, ks) (output
+    row r), rows [cout, 2*cout) the same taps at slots [1, ks+1)."""
+    kt, ks, _, cin, cout = w2.shape
+    wo = jnp.transpose(w2, (2, 4, 1, 0, 3))        # (dj, cout, di, kt, cin)
+    a = jnp.zeros((ks, 2 * cout, ks + 1, kt, _CSLOT), w2.dtype)
+    a = a.at[:, :cout, :ks, :, :cin].set(wo)
+    a = a.at[:, cout:, 1:, :, :cin].set(wo)
+    return a.reshape(ks * 2 * cout, (ks + 1) * kt * _CSLOT)
+
+
 def _build_a(w2: jnp.ndarray) -> jnp.ndarray:
     """(kt, ks, ks, cin, cout) stem weights -> the (2*cout, K) pair GEMM
     matrix in the kernel's dj-major K order (dj, dt, di5, c16): rows
@@ -140,13 +225,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fuse_affine", "interpret", "passes"))
+                   static_argnames=("fuse_affine", "interpret", "passes",
+                                    "dimajor"))
 def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                     scale: Optional[jnp.ndarray],
                     bias: Optional[jnp.ndarray],
                     fuse_affine: bool = False,
                     interpret: bool = False,
-                    passes: int = 3) -> jnp.ndarray:
+                    passes: int = 3,
+                    dimajor: bool = False) -> jnp.ndarray:
     b, t, hp, wp, cin = xd.shape
     kt, ks, _, _, cout = w2.shape
     assert cin <= _CSLOT and cout * 2 == 128, (cin, cout)
@@ -157,8 +244,12 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
     n_hb = -(-h_out // _HBLK)
     h_pad = n_hb * _HBLK + _HBLK
 
-    # (B, T, H, W, C) -> (B, T_pad, H_pad, C16, W_pad), bf16 hi/lo halves
-    x5 = jnp.transpose(xd, (0, 1, 2, 4, 3))
+    # (B, T, H, W, C) -> (B, T_pad, H_pad, C16, W_pad) — or H-major
+    # (B, H_pad, T_pad, C16, W_pad) for the di-major kernel — bf16 halves
+    if dimajor:
+        x5 = jnp.transpose(xd, (0, 2, 1, 4, 3))
+    else:
+        x5 = jnp.transpose(xd, (0, 1, 2, 4, 3))
     # w chunks: each n_j <= _NMAX and 128-aligned; the last chunk is narrow
     # rather than padding every chunk to a common width (MXU N-waste).
     w_align = _round_up(w_out, 128)
@@ -169,8 +260,12 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
         chunk_ns.append(min(_NMAX, rem))
         rem -= chunk_ns[-1]
     w_pad = w_align + 128                          # last window in bounds
-    x5 = jnp.pad(x5, ((0, 0), (ft, ft), (0, h_pad - hp),
-                      (0, _CSLOT - cin), (0, w_pad - wp)))
+    if dimajor:
+        x5 = jnp.pad(x5, ((0, 0), (0, h_pad - hp), (ft, ft),
+                          (0, _CSLOT - cin), (0, w_pad - wp)))
+    else:
+        x5 = jnp.pad(x5, ((0, 0), (ft, ft), (0, h_pad - hp),
+                          (0, _CSLOT - cin), (0, w_pad - wp)))
     if passes >= 2:
         x_hi, x_lo = _split_hi_lo(x5)
     else:
@@ -179,9 +274,10 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
         x_hi = x5.astype(jnp.bfloat16)
         x_lo = x_hi
 
-    a_mat = _build_a(w2)
+    a_mat = _build_a_dimajor(w2) if dimajor else _build_a(w2)
     a_hi, a_lo = _split_hi_lo(a_mat)
     k_dim = a_mat.shape[1]
+    a_rows = a_mat.shape[0]                        # 2*cout | ks*2*cout
     if fuse_affine:
         sc2 = jnp.tile(scale, 2)[:, None] * jnp.ones((1, 128), jnp.float32)
         bi2 = jnp.tile(bias, 2)[:, None] * jnp.ones((1, 128), jnp.float32)
@@ -189,13 +285,17 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
         sc2 = jnp.zeros((2 * cout, 128), jnp.float32)
         bi2 = jnp.zeros((2 * cout, 128), jnp.float32)
 
+    hwin = _HBLK + ks - 1
+    xs_shape = ((hwin, kt, _CSLOT) if dimajor else (kt, hwin, _CSLOT))
+    p_rows = ks * hwin * kt * _CSLOT if dimajor else k_dim
     chunks = []
     ws = 0
     for n_chunk in chunk_ns:
         kernel = functools.partial(
-            _stem_kernel, kt=kt, ks=ks, n=n_chunk, ws=ws,
+            _stem_kernel_dimajor if dimajor else _stem_kernel,
+            kt=kt, ks=ks, n=n_chunk, ws=ws,
             fuse=fuse_affine, cout=cout, passes=passes)
-        vec_spec = pl.BlockSpec((2 * cout, k_dim),
+        vec_spec = pl.BlockSpec((a_rows, k_dim),
                                 lambda bb, tt, hh: (0, 0),
                                 memory_space=pltpu.VMEM)
         aff_spec = pl.BlockSpec((2 * cout, 128), lambda bb, tt, hh: (0, 0),
@@ -215,12 +315,10 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct(
                 (b, t_out, n_hb * _HBLK, n_chunk, cout), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((kt, _HBLK + ks - 1, _CSLOT, n_chunk + 128),
-                           jnp.bfloat16),
-                pltpu.VMEM((kt, _HBLK + ks - 1, _CSLOT, n_chunk + 128),
-                           jnp.bfloat16),
-                pltpu.VMEM((k_dim, n_chunk), jnp.bfloat16),
-                pltpu.VMEM((k_dim, n_chunk), jnp.bfloat16),
+                pltpu.VMEM(xs_shape + (n_chunk + 128,), jnp.bfloat16),
+                pltpu.VMEM(xs_shape + (n_chunk + 128,), jnp.bfloat16),
+                pltpu.VMEM((p_rows, n_chunk), jnp.bfloat16),
+                pltpu.VMEM((p_rows, n_chunk), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             # scratch + double-buffered blocks total ~24 MB; the default
@@ -240,7 +338,8 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
                      scale: Optional[jnp.ndarray] = None,
                      bias: Optional[jnp.ndarray] = None,
                      interpret: bool = False,
-                     passes: int = 3) -> jnp.ndarray:
+                     passes: int = 3,
+                     dimajor: bool = False) -> jnp.ndarray:
     """s2d'd stem conv: xd (B, T, H', W', 12), w2 (7, 4, 4, 12, 64)
     -> (B, T_out, H'-3, W'-3, 64), temporal stride 2 / pad (3, 3).
 
@@ -257,7 +356,12 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
     DMA and patch copies, ~halving non-MXU kernel work). On this image's
     Mosaic the 3-pass measures 1.6e-3 anyway (compensation dropped), so
     1-pass trades ~nothing: A/B in tools/bench_stem.py.
+
+    ``dimajor`` selects the round-5 kernel variant (_stem_kernel_dimajor):
+    one lane-shifted patch per dj instead of one per (row pair, dj) —
+    identical sums, ~45% less VMEM copy traffic.
     """
     fuse = scale is not None
     return _stem_conv_impl(xd, w2, scale, bias, fuse_affine=fuse,
-                           interpret=interpret, passes=passes)
+                           interpret=interpret, passes=passes,
+                           dimajor=dimajor)

@@ -69,3 +69,39 @@ def test_stem_conv_pallas_interpret_fused_affine():
     got = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_stem_conv_pallas_dimajor_interpret_parity():
+    """Round-5 di-major stem kernel vs lax.conv AND vs the dj-major kernel
+    (identical sums — same bf16 product split, different patch assembly)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_gar_tpu.ops.pallas.stem_conv import stem_conv_pallas
+
+    rng = np.random.default_rng(2)
+    xd = jnp.asarray(rng.normal(size=(1, 15, 19, 132, 12))
+                     .astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(7, 4, 4, 12, 64))
+                     .astype(np.float32) * 0.05)
+    sc = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    conv = jax.lax.conv_general_dilated(
+        xd, w2, (2, 1, 1), [(3, 3), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ref = jnp.maximum(conv * sc + bi, 0.0)
+    for passes in (1, 3):
+        got = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
+                               passes=passes, dimajor=True)
+        v1 = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
+                              passes=passes)
+        # vs f32 ref: bounded by the bf16 product split (passes=1 is plain
+        # bf16 — v1 measures the same 4.3e-2 max on this fixture)
+        tol = 1e-3 if passes == 3 else 5e-2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=tol, rtol=tol)
+        # vs the dj-major kernel: same products, different accumulation
+        # order (4 K=560 partial dots vs one K=2240 dot) => ulp-level only
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v1),
+                                   atol=1e-4, rtol=0)

@@ -203,3 +203,64 @@ def test_roi_grid_pool_cull_matches_dense(rng):
         pooled, _ = pool.apply(variables, ms, rois, roi_valid, train=False)
         outs[cull_k] = np.asarray(pooled)
     np.testing.assert_allclose(outs[0], outs[128], atol=1e-5)
+
+
+def test_roi_grid_pool_batch_independent(rng):
+    """Eval-path pool at B=2 == the two B=1 runs stacked.
+
+    Guards the batch-unrolled gather in NeighborVoxelPoolLayer (vmap's
+    batched row-gather is super-linear on TPU; the unroll replaces it with
+    B per-item gathers — this asserts the unroll is exact per item)."""
+    import jax
+    from multimodal_gar_tpu.config import (LiDARBackboneConfig,
+                                           PointCloudConfig,
+                                           PoolLayerConfig,
+                                           VoxelizationConfig)
+    from multimodal_gar_tpu.models.roi_grid_pool import ROIGridPool
+    from multimodal_gar_tpu.models.sparse_backbone import (BACKBONE_STRIDES,
+                                                           SparseTensor)
+
+    pc = PointCloudConfig(
+        num_points=512, range=(-8.0, -8.0, -2.5, 8.0, 8.0, 2.5),
+        voxel=VoxelizationConfig((0.25, 0.25, 0.625), 5, 256, 256))
+    lidar = LiDARBackboneConfig(
+        grid_pool_size=3,
+        pool_layers=(
+            PoolLayerConfig("x_conv2", (8, 8), (2, 2, 2), 0.6, 8),
+            PoolLayerConfig("x_conv3", (8, 8), (2, 2, 2), 1.2, 8)),
+        max_voxels_per_stage=(256, 128, 64, 32))
+    nx, ny, nz = pc.grid_size
+
+    ms2, ms1 = {}, [{}, {}]
+    for name, m, c in (("x_conv2", 128, 8), ("x_conv3", 64, 8)):
+        stride = BACKBONE_STRIDES[name]
+        shape = (nz // stride + 1, ny // stride, nx // stride)
+        cs, vs, fs = [], [], []
+        for _ in range(2):
+            coords, valid = _random_voxel_set(rng, m, shape, m - 10)
+            cs.append(coords); vs.append(valid)
+            fs.append(rng.normal(size=(m, c)).astype(np.float32))
+        ms2[name] = SparseTensor(
+            features=jnp.stack([jnp.asarray(f) for f in fs]),
+            coords=jnp.stack(cs), valid=jnp.stack(vs), spatial_shape=shape)
+        for b in range(2):
+            ms1[b][name] = SparseTensor(
+                features=jnp.asarray(fs[b])[None], coords=cs[b][None],
+                valid=vs[b][None], spatial_shape=shape)
+
+    rois = np.zeros((2, 4, 7), np.float32)
+    rois[:, :, :3] = rng.uniform(-4, 4, (2, 4, 3))
+    rois[:, :, 3:6] = rng.uniform(0.8, 2.0, (2, 4, 3))
+    rois[:, :, 6] = rng.uniform(-np.pi, np.pi, (2, 4))
+    roi_valid = jnp.asarray([[True, True, True, False],
+                             [True, True, False, False]])
+    rois = jnp.asarray(rois)
+
+    pool = ROIGridPool(lidar, pc)
+    variables = pool.init(jax.random.PRNGKey(0), ms2, rois, roi_valid)
+    pooled2, _ = pool.apply(variables, ms2, rois, roi_valid, train=False)
+    for b in range(2):
+        pooled1, _ = pool.apply(variables, ms1[b], rois[b:b + 1],
+                                roi_valid[b:b + 1], train=False)
+        np.testing.assert_allclose(np.asarray(pooled2)[b],
+                                   np.asarray(pooled1)[0], atol=1e-5)
