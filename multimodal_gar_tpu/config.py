@@ -124,7 +124,13 @@ class RGBBackboneConfig:
     # round-5 di-major stem kernel (ops/pallas/stem_conv.py
     # _stem_kernel_dimajor): one lane-shifted patch per dj instead of one
     # per (row pair, dj) — identical sums, ~45% less VMEM copy traffic.
+    # Measured a wash on chip (17.0/17.7 vs 17.3 ms, 2026-08-20): the
+    # kernel is not patch-copy-bound. Kept for the record.
     pallas_stem_dimajor: bool = False
+    # round-5 cout-major stem output (ops/pallas/stem_conv.py cmajor=True):
+    # replaces the 8 per-program (cout, n) VPU output transposes with pure
+    # sublane splits + ONE XLA-side HBM-bandwidth transpose. Identical sums.
+    pallas_stem_cmajor: bool = False
     # eval-path batched I3D as batched stem + Python-unrolled per-clip body
     # (InceptionI3d.batch_unroll): XLA's folded-batch layout of the small
     # Mixed_4x convs executes super-linearly (body per-clip ms inflates 1.5x

@@ -59,6 +59,9 @@ class RGBBackbone(nn.Module):
                              pallas_stem=self.cfg.pallas_stem,
                              stem_passes=getattr(self.cfg,
                                                  "pallas_stem_passes", 3),
+                             stem_cmajor=getattr(self.cfg,
+                                                 "pallas_stem_cmajor",
+                                                 False),
                              stem_dimajor=getattr(self.cfg,
                                                   "pallas_stem_dimajor",
                                                   False),

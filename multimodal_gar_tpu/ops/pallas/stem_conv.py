@@ -62,7 +62,7 @@ _NMAX = 640       # max output columns per w-chunk (5 lane tiles)
 def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
                  xs_h, xs_l, p_h, p_l, sem, *,
                  kt: int, ks: int, n: int, ws: int, fuse: bool, cout: int,
-                 passes: int = 3):
+                 passes: int = 3, cmajor: bool = False):
     """One (8 rows, n cols, cout) output block.
 
     xh/xl_ref: HBM (B, T_pad, H_pad, 16, W_pad) bf16 hi/lo halves;
@@ -112,8 +112,15 @@ def _stem_kernel(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref, o_ref,
             # folded BN + ReLU on the GEMM layout (row-broadcast, cheap;
             # doing this after the transpose measured +3.6 ms)
             res = jnp.maximum(res * sc_ref[:, 0:1] + bi_ref[:, 0:1], 0.0)
-        o_ref[0, 0, r] = res[:cout].T                       # (n, cout)
-        o_ref[0, 0, r + 1] = res[cout:].T
+        if cmajor:
+            # cout-major output: (128, n) -> (2, cout, n) is a pure sublane
+            # split (no relayout); the (B,T,H,C,W)->(B,T,H,W,C) transpose
+            # happens once, XLA-side, at HBM bandwidth — vs 8 in-kernel
+            # (cout, n) VPU relayouts per program here.
+            o_ref[0, 0, pl.ds(r, 2)] = res.reshape(2, cout, n)
+        else:
+            o_ref[0, 0, r] = res[:cout].T                   # (n, cout)
+            o_ref[0, 0, r + 1] = res[cout:].T
 
 
 def _stem_kernel_dimajor(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref,
@@ -226,14 +233,15 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("fuse_affine", "interpret", "passes",
-                                    "dimajor"))
+                                    "dimajor", "cmajor"))
 def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                     scale: Optional[jnp.ndarray],
                     bias: Optional[jnp.ndarray],
                     fuse_affine: bool = False,
                     interpret: bool = False,
                     passes: int = 3,
-                    dimajor: bool = False) -> jnp.ndarray:
+                    dimajor: bool = False,
+                    cmajor: bool = False) -> jnp.ndarray:
     b, t, hp, wp, cin = xd.shape
     kt, ks, _, _, cout = w2.shape
     assert cin <= _CSLOT and cout * 2 == 128, (cin, cout)
@@ -291,10 +299,14 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
     chunks = []
     ws = 0
     for n_chunk in chunk_ns:
-        kernel = functools.partial(
-            _stem_kernel_dimajor if dimajor else _stem_kernel,
-            kt=kt, ks=ks, n=n_chunk, ws=ws,
-            fuse=fuse_affine, cout=cout, passes=passes)
+        if dimajor:
+            kernel = functools.partial(
+                _stem_kernel_dimajor, kt=kt, ks=ks, n=n_chunk, ws=ws,
+                fuse=fuse_affine, cout=cout, passes=passes)
+        else:
+            kernel = functools.partial(
+                _stem_kernel, kt=kt, ks=ks, n=n_chunk, ws=ws,
+                fuse=fuse_affine, cout=cout, passes=passes, cmajor=cmajor)
         vec_spec = pl.BlockSpec((a_rows, k_dim),
                                 lambda bb, tt, hh: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -309,11 +321,13 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                 vec_spec, vec_spec, aff_spec, aff_spec,
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, _HBLK, n_chunk, cout),
+                (1, 1, _HBLK, cout, n_chunk) if cmajor
+                else (1, 1, _HBLK, n_chunk, cout),
                 lambda bb, tt, hh: (bb, tt, hh, 0, 0),
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
-                (b, t_out, n_hb * _HBLK, n_chunk, cout), jnp.float32),
+                (b, t_out, n_hb * _HBLK, cout, n_chunk) if cmajor
+                else (b, t_out, n_hb * _HBLK, n_chunk, cout), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM(xs_shape + (n_chunk + 128,), jnp.bfloat16),
                 pltpu.VMEM(xs_shape + (n_chunk + 128,), jnp.bfloat16),
@@ -330,6 +344,9 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
         )(x_hi, x_lo, a_hi, a_lo, sc2, bi2)
         chunks.append(out)
         ws += n_chunk
+    if cmajor:
+        full = chunks[0] if n_w == 1 else jnp.concatenate(chunks, axis=4)
+        return jnp.transpose(full[:, :, :h_out, :, :w_out], (0, 1, 2, 4, 3))
     full = chunks[0] if n_w == 1 else jnp.concatenate(chunks, axis=3)
     return full[:, :, :h_out, :w_out, :]
 
@@ -339,7 +356,8 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
                      bias: Optional[jnp.ndarray] = None,
                      interpret: bool = False,
                      passes: int = 3,
-                     dimajor: bool = False) -> jnp.ndarray:
+                     dimajor: bool = False,
+                     cmajor: bool = False) -> jnp.ndarray:
     """s2d'd stem conv: xd (B, T, H', W', 12), w2 (7, 4, 4, 12, 64)
     -> (B, T_out, H'-3, W'-3, 64), temporal stride 2 / pad (3, 3).
 
@@ -359,9 +377,16 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
 
     ``dimajor`` selects the round-5 kernel variant (_stem_kernel_dimajor):
     one lane-shifted patch per dj instead of one per (row pair, dj) —
-    identical sums, ~45% less VMEM copy traffic.
+    identical sums, ~45% less VMEM copy traffic. Measured a wash on
+    hardware (17.0/17.7 vs 17.3 ms, 2026-08-20) — the kernel is not
+    patch-copy-bound.
+
+    ``cmajor`` (dj-major kernel only) writes the output cout-major —
+    ``res.reshape(2, cout, n)``, a pure sublane split — instead of the 8
+    per-program (cout, n) VPU transposes, and pays one XLA-side
+    (B,T,H,C,W)->(B,T,H,W,C) transpose at HBM bandwidth.
     """
     fuse = scale is not None
     return _stem_conv_impl(xd, w2, scale, bias, fuse_affine=fuse,
                            interpret=interpret, passes=passes,
-                           dimajor=dimajor)
+                           dimajor=dimajor, cmajor=cmajor)

@@ -105,3 +105,28 @@ def test_stem_conv_pallas_dimajor_interpret_parity():
         # order (4 K=560 partial dots vs one K=2240 dot) => ulp-level only
         np.testing.assert_allclose(np.asarray(got), np.asarray(v1),
                                    atol=1e-4, rtol=0)
+
+
+def test_stem_conv_pallas_cmajor_interpret_parity():
+    """Round-5 cout-major-output stem variant: identical dots to the
+    dj-major kernel, output written as a sublane split instead of 8
+    per-program (cout, n) transposes => BITWISE equal to the default."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_gar_tpu.ops.pallas.stem_conv import stem_conv_pallas
+
+    rng = np.random.default_rng(3)
+    xd = jnp.asarray(rng.normal(size=(1, 15, 19, 132, 12))
+                     .astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(7, 4, 4, 12, 64))
+                     .astype(np.float32) * 0.05)
+    sc = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    for passes in (1, 3):
+        got = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
+                               passes=passes, cmajor=True)
+        base = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
+                                passes=passes)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))

@@ -66,13 +66,24 @@ def main():
     pal_fused = jax.jit(lambda x: stem_conv_pallas(x, w2, scale=sc, bias=bi))
     pal_fused_1p = jax.jit(lambda x: stem_conv_pallas(x, w2, scale=sc,
                                                       bias=bi, passes=1))
+    pal_dm_1p = jax.jit(lambda x: stem_conv_pallas(x, w2, passes=1,
+                                                   dimajor=True))
+    pal_dm_fused_1p = jax.jit(lambda x: stem_conv_pallas(
+        x, w2, scale=sc, bias=bi, passes=1, dimajor=True))
+    pal_dm_3p = jax.jit(lambda x: stem_conv_pallas(x, w2, dimajor=True))
+    pal_cm_1p = jax.jit(lambda x: stem_conv_pallas(x, w2, passes=1,
+                                                   cmajor=True))
+    pal_cm_fused_1p = jax.jit(lambda x: stem_conv_pallas(
+        x, w2, scale=sc, bias=bi, passes=1, cmajor=True))
 
     ref = np.asarray(xla(xd))
     denom = np.abs(ref).max()
     for name, f in [("xla DEFAULT(1xbf16)", xla_conv(jax.lax.Precision.DEFAULT)),
                     ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
                     ("pallas 1xbf16", pal_1p),
-                    ("pallas 3xbf16", pal)]:
+                    ("pallas 3xbf16", pal),
+                    ("pallas dimajor 1xbf16", pal_dm_1p),
+                    ("pallas dimajor 3xbf16", pal_dm_3p)]:
         err = np.abs(np.asarray(f(xd)) - ref).max() / denom
         print(f"parity {name}: rel max err = {err:.2e}")
     # Measured on hardware 2026-08-18: the kernel's manual 3-pass bf16
@@ -89,6 +100,14 @@ def main():
     errf = np.abs(fused_got - fused_ref).max() / np.abs(fused_ref).max()
     print(f"fused parity: rel max err = {errf:.2e}")
     assert errf < 3e-3, "fused parity FAILED"
+    errdm = (np.abs(np.asarray(pal_dm_fused_1p(xd)) - fused_ref).max()
+             / np.abs(fused_ref).max())
+    print(f"fused dimajor parity: rel max err = {errdm:.2e}")
+    assert errdm < 3e-2, "fused dimajor parity FAILED"
+    errcm = (np.abs(np.asarray(pal_cm_fused_1p(xd)) - fused_ref).max()
+             / np.abs(fused_ref).max())
+    print(f"fused cmajor parity: rel max err = {errcm:.2e}")
+    assert errcm < 3e-2, "fused cmajor parity FAILED"
 
     variants = [("xla exact (HIGHEST)", xla),
                 ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
@@ -96,7 +115,12 @@ def main():
                 ("pallas 3xbf16", pal),
                 ("pallas 1xbf16", pal_1p),
                 ("pallas 3xbf16+affine", pal_fused),
-                ("pallas 1xbf16+affine", pal_fused_1p)]
+                ("pallas 1xbf16+affine", pal_fused_1p),
+                ("pallas dimajor 1xbf16", pal_dm_1p),
+                ("pallas dimajor 1xbf16+affine", pal_dm_fused_1p),
+                ("pallas dimajor 3xbf16", pal_dm_3p),
+                ("pallas cmajor 1xbf16", pal_cm_1p),
+                ("pallas cmajor 1xbf16+affine", pal_cm_fused_1p)]
     # optional argv substring filter: each chained-timing jit costs minutes
     # of 1-core compile, so reruns after a timeout can name the survivors
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
