@@ -41,6 +41,21 @@ lane-friendly layout that bisection pointed to:
 K = 4 * 7 * 5 * 16 = 2240, dj-major (vs 1344 real taps: x1.25 from the
 di-pair extension, x1.33 from the 12->16 channel slot padding).
 
+Round-5 elimination (on-chip A/Bs, docs/ROUND5_NOTES.md): the kernel runs
+~48 us/program vs 7.4 us of GEMM, and neither the patch copies (di-major
+variant, 45% less copy traffic: wash) nor the output transposes (cmajor
+variant: -2%) account for the gap. The remaining structural suspect is the
+per-program window DMA, which this kernel issues and awaits synchronously
+— Pallas's automatic double-buffering only applies to block-spec'd inputs,
+and the stem's windows overlap (stride-2 temporal, 3-row H halo), which a
+single BlockSpec cannot express. The next iteration, if the toolchain
+warrants it: pass the SAME input array through EIGHT aliased BlockSpecs —
+4 temporal slots of block t=2 at offsets 2*tt+{0,2,4,6} x 2 H slots of
+block h=8 at offsets 8*hh+{0,8} — so every (7, 11)-window row lives in one
+of the aliased blocks and the grid machinery prefetches program i+1's
+windows during program i's compute. Patch assembly then reads from 8 refs
+instead of 1 (same copy volume).
+
 Matches the Unit3D stem semantics of reference model/backbone.py:134-206
 (after models/i3d.py's exact space-to-depth rewrite of the 7^3 stem).
 """
