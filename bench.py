@@ -403,14 +403,15 @@ def main():
     detail: dict = {"eval_clips_per_sec": sweep, "voxel_cap": _PRIMARY_CAP}
 
     # Measurement order is budget-priority order (a cold compile cache can
-    # eat ~half the default budget): the primary metric (eval:1) first, then
-    # the cheap detail fields MFU depends on (device, flops) and the train
-    # headline — the wide batch sweep and reruns come last so budget
-    # exhaustion degrades the detail, never the headline numbers. NOTE: this
-    # ordering assumes b1 stays the best eval batch (docs/PERF.md); if batch
-    # scaling ever flips positive, move the winning batch ahead of train:1
-    # or a tight budget will understate the headline.
+    # eat ~half the default budget): the headline candidates first — eval:1
+    # and eval:4, the two best batches since the round-5 batch-scaling fix
+    # (i3d_batch_unroll + gather unrolls made b4 aggregate >= b1,
+    # docs/ROUND5_NOTES.md) — then the cheap detail fields MFU depends on
+    # (device, flops) and the train headline; the rest of the batch sweep
+    # and reruns come last so budget exhaustion degrades the detail, never
+    # the headline numbers.
     sweep["1"] = orch.run("eval:1")
+    sweep["4"] = orch.run("eval:4")
     flops = None
     kind = None
     if not quick:
@@ -421,7 +422,8 @@ def main():
         detail["train_steps_per_sec_b1_fullres"] = orch.run("train:1")
 
     for b in ([] if quick else [2, 4, 8]):
-        sweep[str(b)] = orch.run(f"eval:{b}")
+        if str(b) not in sweep:
+            sweep[str(b)] = orch.run(f"eval:{b}")
         if sweep[str(b)] is None and not orch.backend_down:
             # activation narrowing first: bf16 backbone activations halve
             # the monolithic program's residual-free peak (VERDICT r3 #5)

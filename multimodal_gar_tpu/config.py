@@ -131,6 +131,16 @@ class RGBBackboneConfig:
     # replaces the 8 per-program (cout, n) VPU output transposes with pure
     # sublane splits + ONE XLA-side HBM-bandwidth transpose. Identical sums.
     pallas_stem_cmajor: bool = False
+    # round-5 aliased-BlockSpec stem (ops/pallas/stem_conv.py
+    # pipelined=True): the window arrives through 8 aliased block-spec'd
+    # views instead of a synchronous in-kernel DMA, so the Pallas grid
+    # pipeline prefetches the next program's window during compute.
+    # Identical sums (bitwise-parity-tested vs the manual-DMA kernel);
+    # requires pallas_stem_passes=1 and the flagship kt=7/ks=4 geometry,
+    # falling back to the manual-DMA kernel otherwise. On-chip A/B
+    # (2026-08-20, flagship fused-affine stem): 15.44 ms vs 17.11 manual
+    # (-10%, outside the ±0.6 noise band) — default ON.
+    pallas_stem_pipelined: bool = True
     # eval-path batched I3D as batched stem + Python-unrolled per-clip body
     # (InceptionI3d.batch_unroll): XLA's folded-batch layout of the small
     # Mixed_4x convs executes super-linearly (body per-clip ms inflates 1.5x

@@ -119,24 +119,26 @@ def _stem_ref_s2d(xd: jnp.ndarray, w2: jnp.ndarray, s: jnp.ndarray,
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _pallas_stem_op(interp: bool, passes: int, dimajor: bool, cmajor: bool,
-                    xd: jnp.ndarray, w2: jnp.ndarray, s: jnp.ndarray,
-                    b: jnp.ndarray) -> jnp.ndarray:
+                    pipelined: bool, xd: jnp.ndarray, w2: jnp.ndarray,
+                    s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Fused stem conv+BN+ReLU: Pallas kernel forward, XLA-reference VJP
     (pallas_call has no AD rule; the train step differentiates through the
     frozen eval-mode stem, so a working backward is required)."""
     from ..ops.pallas.stem_conv import stem_conv_pallas
     return stem_conv_pallas(xd, w2, scale=s, bias=b, interpret=interp,
-                            passes=passes, dimajor=dimajor, cmajor=cmajor)
+                            passes=passes, dimajor=dimajor, cmajor=cmajor,
+                            pipelined=pipelined)
 
 
-def _pallas_stem_fwd(interp, passes, dimajor, cmajor, xd, w2, s, b):
-    return (_pallas_stem_op(interp, passes, dimajor, cmajor, xd, w2, s, b),
-            (xd, w2, s, b))
+def _pallas_stem_fwd(interp, passes, dimajor, cmajor, pipelined,
+                     xd, w2, s, b):
+    return (_pallas_stem_op(interp, passes, dimajor, cmajor, pipelined,
+                            xd, w2, s, b), (xd, w2, s, b))
 
 
-def _pallas_stem_bwd(interp, passes, dimajor, cmajor, res, g):
+def _pallas_stem_bwd(interp, passes, dimajor, cmajor, pipelined, res, g):
     _, vjp = jax.vjp(_stem_ref_s2d, *res)
     return vjp(g)
 
@@ -221,6 +223,12 @@ class Unit3D(nn.Module):
     # splits instead of 8 per-program (cout, n) VPU transposes; one
     # XLA-side HBM transpose outside the kernel. Identical sums.
     stem_cmajor: bool = False
+    # round-5 aliased-BlockSpec stem: the window arrives through 8 aliased
+    # block-spec'd views (no manual DMA), so the Pallas grid pipeline
+    # prefetches program i+1's window during program i's compute. Identical
+    # sums; requires passes=1 (falls back to the manual-DMA kernel when the
+    # geometry doesn't fit — ops/pallas/stem_conv.py).
+    stem_pipelined: bool = False
     t_pad: Tuple[int, int] | None = None
     # eval-path (3,3,3)/stride-1 convs as 3 temporally-shifted NATIVE 2D
     # convs summed (T folded into batch): exact same sums, but each conv
@@ -319,7 +327,8 @@ class Unit3D(nn.Module):
         xd, w2 = _s2d_prep(x.astype(jnp.float32), kernel.astype(jnp.float32))
         s, b = self._bn_affine()
         return _pallas_stem_op(interp, self.stem_passes, self.stem_dimajor,
-                               self.stem_cmajor, xd, w2, s, b)
+                               self.stem_cmajor, self.stem_pipelined,
+                               xd, w2, s, b)
 
 
 def max_pool_same(x: jnp.ndarray, window: Tuple[int, int, int],
@@ -406,6 +415,7 @@ class InceptionI3d(nn.Module):
     stem_passes: int = 3        # Unit3D.stem_passes of the Conv3d_1a stem
     stem_dimajor: bool = False  # Unit3D.stem_dimajor of the Conv3d_1a stem
     stem_cmajor: bool = False   # Unit3D.stem_cmajor of the Conv3d_1a stem
+    stem_pipelined: bool = False  # Unit3D.stem_pipelined of the stem
     # rematerialize each Inception module's activations in the backward pass
     # (jax.checkpoint): trades recompute FLOPs for activation HBM, enabling
     # larger per-chip train batches (VERDICT r2 weak #2).
@@ -480,6 +490,7 @@ class InceptionI3d(nn.Module):
                    stem_passes=self.stem_passes,
                    stem_dimajor=self.stem_dimajor,
                    stem_cmajor=self.stem_cmajor,
+                   stem_pipelined=self.stem_pipelined,
                    dtype=d, name="Conv3d_1a_7x7")(x, train)
         if self.final_endpoint == "Conv3d_1a_7x7":
             return x

@@ -65,6 +65,9 @@ class RGBBackbone(nn.Module):
                              stem_dimajor=getattr(self.cfg,
                                                   "pallas_stem_dimajor",
                                                   False),
+                             stem_pipelined=getattr(self.cfg,
+                                                    "pallas_stem_pipelined",
+                                                    False),
                              remat=self.cfg.i3d_remat,
                              t2d=getattr(self.cfg, "i3d_t2d", False),
                              body_dtype=jnp.bfloat16 if bf16_body else None,

@@ -48,13 +48,15 @@ variant: -2%) account for the gap. The remaining structural suspect is the
 per-program window DMA, which this kernel issues and awaits synchronously
 — Pallas's automatic double-buffering only applies to block-spec'd inputs,
 and the stem's windows overlap (stride-2 temporal, 3-row H halo), which a
-single BlockSpec cannot express. The next iteration, if the toolchain
-warrants it: pass the SAME input array through EIGHT aliased BlockSpecs —
-4 temporal slots of block t=2 at offsets 2*tt+{0,2,4,6} x 2 H slots of
-block h=8 at offsets 8*hh+{0,8} — so every (7, 11)-window row lives in one
-of the aliased blocks and the grid machinery prefetches program i+1's
-windows during program i's compute. Patch assembly then reads from 8 refs
-instead of 1 (same copy volume).
+single BlockSpec cannot express. ``_stem_kernel_aliased`` (``pipelined``)
+implements the fix: it passes the SAME input array through EIGHT aliased
+BlockSpecs — 4 temporal slots of block t=2 at offsets 2*tt+{0,2,4,6} x 2 H
+slots of block h=8 at offsets 8*hh+{0,8} — so every (7, 11)-window row
+lives in one of the aliased blocks and the grid machinery prefetches
+program i+1's windows during program i's compute. The kernel merges the 8
+blocks into the same contiguous (7, 11, 16, W) VMEM window the manual-DMA
+kernel fetched (+1.85 MB/program of VPU copy — measured immaterial by the
+di-major A/B) and the rest of the program is identical.
 
 Matches the Unit3D stem semantics of reference model/backbone.py:134-206
 (after models/i3d.py's exact space-to-depth rewrite of the 7^3 stem).
@@ -210,6 +212,51 @@ def _stem_kernel_dimajor(xh_ref, xl_ref, ah_ref, al_ref, sc_ref, bi_ref,
         o_ref[0, 0, r + 1] = res[cout:].T
 
 
+def _stem_kernel_aliased(x00, x01, x10, x11, x20, x21, x30, x31,
+                         ah_ref, sc_ref, bi_ref, o_ref, xs, p_h, *,
+                         kt: int, ks: int, n: int, fuse: bool, cout: int):
+    """Pipelined variant of ``_stem_kernel`` (round-5 stem iteration #3).
+
+    No manual DMA: the input arrives through 8 ALIASED block-spec'd views
+    of the same (B, T_pad, H_pad, 16, W_pad) array — temporal slot
+    a in [0, 4) is a (1, 2, 8, 16, W_pad) block at block index
+    (bb, tt + a, hh + b, 0, 0), i.e. element rows 2*tt + 2a + {0, 1} /
+    8*hh + 8b + {0..7} — so Pallas's grid pipeline prefetches program
+    i+1's window during program i's compute (the manual-DMA kernels issue
+    and await their window fetch synchronously inside the program; the
+    roofline table pins ~40 of the 48 us/program on that serialization).
+    The kernel first merges the aliased blocks into the same contiguous
+    (kt, 11, 16, W_pad) VMEM window ``_stem_kernel`` DMA'd (8 copies,
+    1.85 MB — the di-major A/B measured patch-copy traffic immaterial),
+    then assembly/GEMM/epilogue are identical to ``_stem_kernel``.
+
+    Constraints (checked by the caller, which falls back to the manual-DMA
+    kernel): kt == 7, ks == 4, single w-chunk (the blocks span the full
+    padded W), passes == 1 (bf16 hi half only — the model default).
+    """
+    hwin = _HBLK + ks - 1
+    slots = (x00, x01, x10, x11, x20, x21, x30, x31)
+    for a in range(4):
+        ta = min(2, kt - 2 * a)
+        for b_ in range(2):
+            hb = min(_HBLK, hwin - _HBLK * b_)
+            ref = slots[a * 2 + b_]
+            xs[2 * a:2 * a + ta, _HBLK * b_:_HBLK * b_ + hb] = ref[0, :ta, :hb]
+
+    ndi = ks + 1
+    blk = kt * ndi * _CSLOT
+    for p in range(_HBLK // 2):
+        r = 2 * p
+        for dj in range(ks):
+            rows = pl.ds(dj * blk, blk)
+            p_h[rows, :] = xs[:, r:r + ndi, :, dj:dj + n].reshape(blk, n)
+        res = jnp.dot(ah_ref[:], p_h[:], preferred_element_type=jnp.float32)
+        if fuse:
+            res = jnp.maximum(res * sc_ref[:, 0:1] + bi_ref[:, 0:1], 0.0)
+        o_ref[0, 0, r] = res[:cout].T                       # (n, cout)
+        o_ref[0, 0, r + 1] = res[cout:].T
+
+
 def _build_a_dimajor(w2: jnp.ndarray) -> jnp.ndarray:
     """(kt, ks, ks, cin, cout) stem weights -> (ks*2*cout, (ks+1)*kt*16)
     per-dj GEMM blocks in the di-major kernel's K order (di, dt, c16):
@@ -248,7 +295,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("fuse_affine", "interpret", "passes",
-                                    "dimajor", "cmajor"))
+                                    "dimajor", "cmajor", "pipelined"))
 def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                     scale: Optional[jnp.ndarray],
                     bias: Optional[jnp.ndarray],
@@ -256,7 +303,8 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
                     interpret: bool = False,
                     passes: int = 3,
                     dimajor: bool = False,
-                    cmajor: bool = False) -> jnp.ndarray:
+                    cmajor: bool = False,
+                    pipelined: bool = False) -> jnp.ndarray:
     b, t, hp, wp, cin = xd.shape
     kt, ks, _, _, cout = w2.shape
     assert cin <= _CSLOT and cout * 2 == 128, (cin, cout)
@@ -267,12 +315,6 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
     n_hb = -(-h_out // _HBLK)
     h_pad = n_hb * _HBLK + _HBLK
 
-    # (B, T, H, W, C) -> (B, T_pad, H_pad, C16, W_pad) — or H-major
-    # (B, H_pad, T_pad, C16, W_pad) for the di-major kernel — bf16 halves
-    if dimajor:
-        x5 = jnp.transpose(xd, (0, 2, 1, 4, 3))
-    else:
-        x5 = jnp.transpose(xd, (0, 1, 2, 4, 3))
     # w chunks: each n_j <= _NMAX and 128-aligned; the last chunk is narrow
     # rather than padding every chunk to a common width (MXU N-waste).
     w_align = _round_up(w_out, 128)
@@ -283,11 +325,26 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
         chunk_ns.append(min(_NMAX, rem))
         rem -= chunk_ns[-1]
     w_pad = w_align + 128                          # last window in bounds
+
+    # pipelined (aliased-BlockSpec) kernel: flagship-geometry + 1-pass +
+    # single-w-chunk only; anything else falls back to the manual-DMA path.
+    pipelined = (pipelined and not dimajor and not cmajor and passes == 1
+                 and kt == 7 and ks == 4 and n_w == 1)
+
+    # (B, T, H, W, C) -> (B, T_pad, H_pad, C16, W_pad) — or H-major
+    # (B, H_pad, T_pad, C16, W_pad) for the di-major kernel — bf16 halves
+    if dimajor:
+        x5 = jnp.transpose(xd, (0, 2, 1, 4, 3))
+    else:
+        x5 = jnp.transpose(xd, (0, 1, 2, 4, 3))
+    # the aliased T blocks read element rows up to 2*(t_out-1) + 8; extend
+    # the back pad past (ft, ft) by the (zero, never-computed-on) remainder
+    tb = ft + max(0, 2 * t_out + 6 - t - 2 * ft) if pipelined else ft
     if dimajor:
         x5 = jnp.pad(x5, ((0, 0), (0, h_pad - hp), (ft, ft),
                           (0, _CSLOT - cin), (0, w_pad - wp)))
     else:
-        x5 = jnp.pad(x5, ((0, 0), (ft, ft), (0, h_pad - hp),
+        x5 = jnp.pad(x5, ((0, 0), (ft, tb), (0, h_pad - hp),
                           (0, _CSLOT - cin), (0, w_pad - wp)))
     if passes >= 2:
         x_hi, x_lo = _split_hi_lo(x5)
@@ -313,6 +370,42 @@ def _stem_conv_impl(xd: jnp.ndarray, w2: jnp.ndarray,
     p_rows = ks * hwin * kt * _CSLOT if dimajor else k_dim
     chunks = []
     ws = 0
+    if pipelined:
+        n_chunk = chunk_ns[0]
+        kernel = functools.partial(
+            _stem_kernel_aliased, kt=kt, ks=ks, n=n_chunk,
+            fuse=fuse_affine, cout=cout)
+        w_blk = n_chunk + 128                      # == the full padded W
+        x_specs = [
+            pl.BlockSpec((1, 2, _HBLK, _CSLOT, w_blk),
+                         lambda bb, tt, hh, a=a, b_=b_: (bb, tt + a,
+                                                         hh + b_, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for a in range(4) for b_ in range(2)
+        ]
+        vec_spec = pl.BlockSpec((a_rows, k_dim), lambda bb, tt, hh: (0, 0),
+                                memory_space=pltpu.VMEM)
+        aff_spec = pl.BlockSpec((2 * cout, 128), lambda bb, tt, hh: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, t_out, n_hb),
+            in_specs=x_specs + [vec_spec, aff_spec, aff_spec],
+            out_specs=pl.BlockSpec(
+                (1, 1, _HBLK, n_chunk, cout),
+                lambda bb, tt, hh: (bb, tt, hh, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, t_out, n_hb * _HBLK, n_chunk, cout), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((kt, hwin, _CSLOT, w_blk), jnp.bfloat16),
+                pltpu.VMEM((p_rows, n_chunk), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*([x_hi] * 8), a_hi, sc2, bi2)
+        return out[:, :, :h_out, :w_out, :]
     for n_chunk in chunk_ns:
         if dimajor:
             kernel = functools.partial(
@@ -372,7 +465,8 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
                      interpret: bool = False,
                      passes: int = 3,
                      dimajor: bool = False,
-                     cmajor: bool = False) -> jnp.ndarray:
+                     cmajor: bool = False,
+                     pipelined: bool = False) -> jnp.ndarray:
     """s2d'd stem conv: xd (B, T, H', W', 12), w2 (7, 4, 4, 12, 64)
     -> (B, T_out, H'-3, W'-3, 64), temporal stride 2 / pad (3, 3).
 
@@ -400,8 +494,16 @@ def stem_conv_pallas(xd: jnp.ndarray, w2: jnp.ndarray,
     ``res.reshape(2, cout, n)``, a pure sublane split — instead of the 8
     per-program (cout, n) VPU transposes, and pays one XLA-side
     (B,T,H,C,W)->(B,T,H,W,C) transpose at HBM bandwidth.
+
+    ``pipelined`` selects the aliased-BlockSpec kernel
+    (_stem_kernel_aliased): no manual DMA — the window arrives through 8
+    aliased block-spec'd views so the Pallas grid pipeline prefetches the
+    next program's window during this one's compute. Requires passes=1,
+    kt=7/ks=4 geometry and a single w-chunk (w_out <= 640 post-align);
+    falls back to the manual-DMA kernel otherwise.
     """
     fuse = scale is not None
     return _stem_conv_impl(xd, w2, scale, bias, fuse_affine=fuse,
                            interpret=interpret, passes=passes,
-                           dimajor=dimajor, cmajor=cmajor)
+                           dimajor=dimajor, cmajor=cmajor,
+                           pipelined=pipelined)

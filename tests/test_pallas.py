@@ -130,3 +130,38 @@ def test_stem_conv_pallas_cmajor_interpret_parity():
         base = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
                                 passes=passes)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_stem_conv_pallas_pipelined_interpret_parity():
+    """Round-5 aliased-BlockSpec (pipelined) stem kernel: identical dots to
+    the manual-DMA dj-major kernel — the 8 aliased blocks merge into the
+    exact window the DMA fetched — so BITWISE equal, plain and fused."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from multimodal_gar_tpu.ops.pallas.stem_conv import stem_conv_pallas
+
+    rng = np.random.default_rng(4)
+    # odd T (flagship parity), single w-chunk (w_out 128 post-align)
+    xd = jnp.asarray(rng.normal(size=(2, 9, 19, 131, 12))
+                     .astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(7, 4, 4, 12, 64))
+                     .astype(np.float32) * 0.05)
+    sc = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    got = stem_conv_pallas(xd, w2, interpret=True, passes=1, pipelined=True)
+    base = stem_conv_pallas(xd, w2, interpret=True, passes=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    gotf = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
+                            passes=1, pipelined=True)
+    basef = stem_conv_pallas(xd, w2, scale=sc, bias=bi, interpret=True,
+                             passes=1)
+    np.testing.assert_array_equal(np.asarray(gotf), np.asarray(basef))
+    # fallback geometries (multi-chunk W, passes=3) must still be correct:
+    # pipelined silently degrades to the manual-DMA kernel
+    xd2 = jnp.asarray(rng.normal(size=(1, 7, 12, 700, 12))
+                      .astype(np.float32))
+    got2 = stem_conv_pallas(xd2, w2, interpret=True, passes=1,
+                            pipelined=True)
+    base2 = stem_conv_pallas(xd2, w2, interpret=True, passes=1)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(base2))

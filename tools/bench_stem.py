@@ -75,6 +75,10 @@ def main():
                                                    cmajor=True))
     pal_cm_fused_1p = jax.jit(lambda x: stem_conv_pallas(
         x, w2, scale=sc, bias=bi, passes=1, cmajor=True))
+    pal_pp_1p = jax.jit(lambda x: stem_conv_pallas(x, w2, passes=1,
+                                                   pipelined=True))
+    pal_pp_fused_1p = jax.jit(lambda x: stem_conv_pallas(
+        x, w2, scale=sc, bias=bi, passes=1, pipelined=True))
 
     ref = np.asarray(xla(xd))
     denom = np.abs(ref).max()
@@ -108,6 +112,10 @@ def main():
              / np.abs(fused_ref).max())
     print(f"fused cmajor parity: rel max err = {errcm:.2e}")
     assert errcm < 3e-2, "fused cmajor parity FAILED"
+    errpp = (np.abs(np.asarray(pal_pp_fused_1p(xd)) - fused_ref).max()
+             / np.abs(fused_ref).max())
+    print(f"fused pipelined parity: rel max err = {errpp:.2e}")
+    assert errpp < 3e-2, "fused pipelined parity FAILED"
 
     variants = [("xla exact (HIGHEST)", xla),
                 ("xla HIGH (3xbf16)", xla_conv(jax.lax.Precision.HIGH)),
@@ -120,7 +128,9 @@ def main():
                 ("pallas dimajor 1xbf16+affine", pal_dm_fused_1p),
                 ("pallas dimajor 3xbf16", pal_dm_3p),
                 ("pallas cmajor 1xbf16", pal_cm_1p),
-                ("pallas cmajor 1xbf16+affine", pal_cm_fused_1p)]
+                ("pallas cmajor 1xbf16+affine", pal_cm_fused_1p),
+                ("pallas pipelined 1xbf16", pal_pp_1p),
+                ("pallas pipelined 1xbf16+affine", pal_pp_fused_1p)]
     # optional argv substring filter: each chained-timing jit costs minutes
     # of 1-core compile, so reruns after a timeout can name the survivors
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
